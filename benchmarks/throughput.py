@@ -1,0 +1,99 @@
+"""Throughput benchmark harness (SURVEY.md §2 #27): examples/s/chip.
+
+Times the steady-state compiled train step over synthetic data (no host IO in
+the timed region — batches are staged to device up front), the standard way
+to measure the XLA step itself. `run_benchmark` is used by both the CLI
+`benchmark` subcommand and the repo-root `bench.py`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from seqrec_tpu.config import RunConfig
+from seqrec_tpu.data.dataset import synthetic_dataset
+from seqrec_tpu.train.trainer import Trainer
+
+
+def run_benchmark(
+    cfg: RunConfig,
+    *,
+    steps: int = 100,
+    warmup: int = 10,
+    num_staged_batches: int = 8,
+) -> Dict[str, float]:
+    ds = synthetic_dataset(
+        num_users=max(cfg.data.batch_size * 4, 512),
+        num_items=cfg.data.synthetic_num_items,
+        seed=cfg.data.seed,
+        min_len=min(cfg.data.max_len, 20),
+        max_len=cfg.data.max_len + 1,
+    )
+    tr = Trainer(cfg, ds=ds)
+    state = tr.init_state()
+
+    # Stage a few distinct batches on device; cycle through them.
+    it = tr.train_iterator()
+    staged = []
+    for _ in range(num_staged_batches):
+        _, batch = next(it)
+        staged.append(tr.put_batch(batch))
+
+    # Warmup (includes compile).
+    t_compile = time.perf_counter()
+    for i in range(max(warmup, 1)):
+        state, metrics = tr._train_step(state, staged[i % len(staged)])
+    jax.block_until_ready(metrics["loss"])
+    warmup_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = tr._train_step(state, staged[i % len(staged)])
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_dev = tr.num_devices
+    eps = steps * tr.global_batch / dt
+    return {
+        "steps": steps,
+        "global_batch": tr.global_batch,
+        "seq_len": cfg.data.max_len,
+        "num_devices": n_dev,
+        "step_time_ms": 1e3 * dt / steps,
+        "examples_per_s": eps,
+        "examples_per_s_per_chip": eps / n_dev,
+        "warmup_s": warmup_s,
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_config(
+    arch: str = "gru4rec",
+    *,
+    batch_size: int = 256,
+    max_len: int = 50,
+    embed_dim: int = 64,
+    num_items: int = 10_000,
+    loss: str = "full_softmax",
+    use_pallas: bool = True,
+    num_layers: int = 1,
+) -> RunConfig:
+    cfg = RunConfig()
+    cfg.model.arch = arch
+    cfg.model.embed_dim = embed_dim
+    cfg.model.num_layers = num_layers
+    cfg.model.max_len = max_len
+    cfg.model.loss = loss
+    cfg.model.dropout_rate = 0.0
+    cfg.model.use_pallas = use_pallas
+    cfg.data.batch_size = batch_size
+    cfg.data.max_len = max_len
+    cfg.data.synthetic_num_items = num_items
+    cfg.train.out_dir = ""
+    cfg.train.checkpoint_every = 0
+    cfg.train.eval_every = 0
+    return cfg

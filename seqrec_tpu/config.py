@@ -1,0 +1,200 @@
+"""Typed configuration tree for seqrec_tpu.
+
+Covers the reference's argparse→hparams flow (SURVEY.md §5.6: the reference
+serialized an hparams object to JSON in the output dir) with nested
+dataclasses, JSON round-trip, and dotted-path CLI overrides
+(``--train.learning_rate=1e-3``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Sequence-tower + head hyperparameters."""
+
+    # "gru4rec" (recurrent tower) or "sasrec" (causal self-attention tower).
+    arch: str = "gru4rec"
+    # Embedding / hidden width. GRU hidden size == embed_dim unless set.
+    embed_dim: int = 64
+    hidden_dim: Optional[int] = None
+    num_layers: int = 1
+    # SASRec-specific.
+    num_heads: int = 1
+    mlp_dim: Optional[int] = None  # defaults to 4*embed_dim
+    max_len: int = 200
+    dropout_rate: float = 0.1
+    # Loss head: "full_softmax" | "sampled_softmax" | "bpr".
+    loss: str = "full_softmax"
+    num_negatives: int = 100
+    # Share the input embedding table with the output projection.
+    tie_embeddings: bool = True
+    # Numerics.
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    # Use Pallas TPU kernels for hot ops (False = pure-XLA fallbacks).
+    use_pallas: bool = True
+
+    @property
+    def hidden(self) -> int:
+        return self.hidden_dim if self.hidden_dim is not None else self.embed_dim
+
+
+@dataclass
+class DataConfig:
+    """Dataset + batching hyperparameters."""
+
+    # "ml-100k" | "ml-1m" | "beauty" | "steam" | "synthetic".
+    dataset: str = "ml-100k"
+    data_dir: str = "data"
+    # Per-device batch size (global batch = batch_size * num_devices).
+    batch_size: int = 128
+    max_len: int = 200
+    # Length buckets: sequences are padded up to the smallest bucket that fits;
+    # one compiled train step per bucket. Empty => single fixed shape max_len.
+    buckets: Tuple[int, ...] = ()
+    shuffle_buffer: int = 10_000
+    seed: int = 0
+    # Negative sampling for training loss: "uniform" | "log_uniform".
+    neg_sampler: str = "log_uniform"
+    # Synthetic-dataset knobs (BASELINE.json:11 large-catalog config).
+    synthetic_num_items: int = 10_000
+    synthetic_num_users: int = 2_000
+    synthetic_zipf_a: float = 1.1
+    min_seq_len: int = 2
+
+
+@dataclass
+class TrainConfig:
+    num_steps: int = 2_000
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"  # "adam" | "adagrad" | "sgd"
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 5.0
+    lr_schedule: str = "constant"  # "constant" | "cosine" | "warmup_cosine"
+    warmup_steps: int = 100
+    log_every: int = 50
+    eval_every: int = 500
+    checkpoint_every: int = 1_000
+    keep_checkpoints: int = 3
+    seed: int = 42
+    out_dir: str = "runs/default"
+    resume: bool = False
+    profile_dir: Optional[str] = None
+    profile_steps: Tuple[int, int] = (10, 20)
+    debug_nans: bool = False
+    # Fault-injection for resume tests (SURVEY.md §5.3): exit after this step.
+    fail_after_step: Optional[int] = None
+
+
+@dataclass
+class EvalConfig:
+    # "full" = rank against the full catalog; "sampled" = 1 positive vs.
+    # `num_negatives` sampled negatives (the SASRec-paper 100-neg protocol).
+    protocol: str = "full"
+    num_negatives: int = 100
+    ks: Tuple[int, ...] = (5, 10, 20)
+    batch_size: int = 256
+    max_batches: Optional[int] = None
+    seed: int = 123
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout. data axis = DP over the tower; model axis =
+    row-sharding (TP) of the embedding tables (SURVEY.md §2.2)."""
+
+    data_axis: int = -1  # -1 = all remaining devices
+    model_axis: int = 1
+    # Row-shard embedding tables over the model axis when model_axis > 1.
+    shard_embeddings: bool = False
+    # Deduplicate ids per batch before the collective exchange (component #3).
+    dedup_lookup: bool = True
+
+
+@dataclass
+class RunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ---- serialization -------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(self.to_dict(), indent=indent)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RunConfig":
+        return cls(
+            model=_build(ModelConfig, d.get("model", {})),
+            data=_build(DataConfig, d.get("data", {})),
+            train=_build(TrainConfig, d.get("train", {})),
+            eval=_build(EvalConfig, d.get("eval", {})),
+            mesh=_build(MeshConfig, d.get("mesh", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def load(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    # ---- CLI overrides -------------------------------------------------
+
+    def apply_overrides(self, overrides: List[str]) -> "RunConfig":
+        """Apply ``section.key=value`` overrides (values parsed as JSON,
+        falling back to string)."""
+        d = self.to_dict()
+        for ov in overrides:
+            ov = ov.lstrip("-")
+            if "=" not in ov:
+                raise ValueError(f"override must be key=value, got {ov!r}")
+            path, raw = ov.split("=", 1)
+            keys = path.split(".")
+            node: Any = d
+            for k in keys[:-1]:
+                if k not in node:
+                    raise KeyError(f"unknown config section {k!r} in {path!r}")
+                node = node[k]
+            if keys[-1] not in node:
+                raise KeyError(f"unknown config key {keys[-1]!r} in {path!r}")
+            try:
+                val = json.loads(raw)
+            except json.JSONDecodeError:
+                val = raw
+            node[keys[-1]] = val
+        return RunConfig.from_dict(d)
+
+
+def _build(cls, d: dict):
+    """Construct dataclass `cls` from dict, tolerating tuple fields and
+    rejecting unknown keys (catches config typos early)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise KeyError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name in d:
+            v = d[f.name]
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    return cls(**kwargs)

@@ -1,0 +1,173 @@
+"""Variable-length session batching with bucketed padding (L4).
+
+The reference used `tf.data.bucket_by_sequence_length` (SURVEY.md §2 #15).
+TPU-first equivalent: a SMALL, FIXED set of length buckets; every batch is
+padded to its bucket length so each bucket corresponds to exactly one
+compiled XLA executable (pre-compiled at startup by the trainer, SURVEY.md
+§7.3 item 3). Pad positions carry mask=0 and are excluded from the loss.
+
+Batch dict: inputs [B, T] int32 (0=pad), targets [B, T] int32, mask [B, T]
+float32. Row r trains next-item prediction at every real step (inputs
+s[:-1] -> targets s[1:]), truncated to the most recent `max_len` steps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from seqrec_tpu.data.dataset import SequenceDataset
+
+Batch = Dict[str, np.ndarray]
+
+
+def _pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+class BucketBatcher:
+    """Groups (input, target) windows into fixed-shape bucketed batches."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        max_len: int,
+        buckets: Sequence[int] = (),
+    ):
+        if not buckets:
+            buckets = (max_len,)
+        self.buckets: Tuple[int, ...] = tuple(sorted(set(min(b, max_len) for b in buckets)))
+        if self.buckets[-1] < max_len:
+            self.buckets = self.buckets + (max_len,)
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self._pending: Dict[int, List[np.ndarray]] = {b: [] for b in self.buckets}
+
+    def add(self, seq: np.ndarray) -> Optional[Tuple[int, Batch]]:
+        """Add one training sequence; returns a full batch when one fills."""
+        if len(seq) < 2:
+            return None
+        if len(seq) > self.max_len + 1:
+            seq = seq[-(self.max_len + 1):]
+        b = _pick_bucket(len(seq) - 1, self.buckets)
+        self._pending[b].append(seq)
+        if len(self._pending[b]) == self.batch_size:
+            return b, self._emit(b)
+        return None
+
+    def flush(self, pad_incomplete: bool = True) -> Iterator[Tuple[int, Batch]]:
+        """Emit remaining partial batches, zero-padded to full batch size."""
+        for b in self.buckets:
+            if self._pending[b] and pad_incomplete:
+                yield b, self._emit(b)
+
+    def _emit(self, b: int) -> Batch:
+        rows = self._pending[b]
+        self._pending[b] = []
+        B, T = self.batch_size, b
+        inputs = np.zeros((B, T), dtype=np.int32)
+        targets = np.zeros((B, T), dtype=np.int32)
+        mask = np.zeros((B, T), dtype=np.float32)
+        for r, seq in enumerate(rows):
+            L = len(seq) - 1
+            inputs[r, :L] = seq[:-1]
+            targets[r, :L] = seq[1:]
+            mask[r, :L] = 1.0
+        return {"inputs": inputs, "targets": targets, "mask": mask}
+
+
+def make_train_batches(
+    ds: SequenceDataset,
+    *,
+    batch_size: int,
+    max_len: int,
+    buckets: Sequence[int] = (),
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    host_shard: Tuple[int, int] = (0, 1),  # (process_index, process_count)
+) -> Iterator[Tuple[int, Batch]]:
+    """Infinite (or num_epochs) shuffled stream of bucketed train batches.
+
+    Each host sees a disjoint shard of users (host_shard), SURVEY.md §2 #16.
+    """
+    rng = np.random.default_rng(seed + 1_000_003 * host_shard[0])
+    users = np.arange(ds.num_users)
+    users = users[users % host_shard[1] == host_shard[0]]
+    batcher = BucketBatcher(batch_size, max_len, buckets)
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = rng.permutation(users)
+        for u in order:
+            s = ds.train_seq(int(u))
+            out = batcher.add(s)
+            if out is not None:
+                yield out
+        epoch += 1
+        if num_epochs is not None and epoch == num_epochs:
+            yield from batcher.flush()
+
+
+def make_eval_batches(
+    ds: SequenceDataset,
+    *,
+    split: str,
+    batch_size: int,
+    max_len: int,
+    max_batches: Optional[int] = None,
+    host_shard: Tuple[int, int] = (0, 1),
+) -> Iterator[Batch]:
+    """Fixed-shape eval batches: history (padded to max_len) + held-out target.
+
+    Keys: inputs [B, T], mask [B, T], target [B], valid [B] (0 = padding row),
+    hist_len [B]. Row layout matches scores(): last real position predicts.
+    """
+    rows: List[Dict[str, np.ndarray]] = []
+    emitted = 0
+    for u in range(ds.num_users):
+        if u % host_shard[1] != host_shard[0]:
+            continue
+        ex = ds.eval_example(u, split)
+        if ex is None:
+            continue
+        rows.append(ex)
+        if len(rows) == batch_size:
+            yield _pack_eval(rows, max_len)
+            rows = []
+            emitted += 1
+            if max_batches is not None and emitted >= max_batches:
+                return
+    if rows:
+        yield _pack_eval(rows, max_len)
+
+
+def _pack_eval(rows: List[Dict[str, np.ndarray]], max_len: int) -> Batch:
+    B = len(rows)
+    inputs = np.zeros((B, max_len), dtype=np.int32)
+    mask = np.zeros((B, max_len), dtype=np.float32)
+    target = np.zeros((B,), dtype=np.int32)
+    valid = np.zeros((B,), dtype=np.float32)
+    for r, ex in enumerate(rows):
+        h = ex["history"]
+        if len(h) > max_len:
+            h = h[-max_len:]
+        inputs[r, : len(h)] = h
+        mask[r, : len(h)] = 1.0
+        target[r] = ex["target"]
+        valid[r] = 1.0
+    return {"inputs": inputs, "mask": mask, "target": target, "valid": valid}
+
+
+def pad_batch_rows(batch: Batch, to_rows: int) -> Batch:
+    """Zero-pad a batch's leading dim to `to_rows` (static eval shapes)."""
+    out = {}
+    for k, v in batch.items():
+        if v.shape[0] < to_rows:
+            pad = np.zeros((to_rows - v.shape[0],) + v.shape[1:], dtype=v.dtype)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = v
+    return out

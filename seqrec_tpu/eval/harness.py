@@ -1,0 +1,124 @@
+"""Eval harness (L6): full-catalog and sampled-negative ranking protocols.
+
+- "full": rank the held-out item against the entire catalog (pad masked out)
+  — exact metrics, the GRU4Rec-paper protocol (SURVEY.md §3.2).
+- "sampled": rank against 1 positive + N sampled negatives not in the user's
+  history — the SASRec-paper 100-negative protocol (BASELINE.json:9).
+
+Metric sums are accumulated across batches on host (psum across processes
+happens inside the jitted step when running multi-host) and finalized to
+means at the end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seqrec_tpu.config import DataConfig, EvalConfig
+from seqrec_tpu.data.batching import make_eval_batches, pad_batch_rows
+from seqrec_tpu.data.dataset import SequenceDataset
+from seqrec_tpu.eval.metrics import (
+    finalize_metrics,
+    mask_scores,
+    rank_metrics,
+    ranks_from_scores,
+)
+
+
+def sample_eval_candidates(
+    history: np.ndarray,
+    target: int,
+    num_negatives: int,
+    vocab_size: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """[1 + N] candidate ids: target first, then negatives ∉ history∪{target}."""
+    forbidden = set(history.tolist()) | {int(target), 0}
+    out = np.empty(1 + num_negatives, dtype=np.int32)
+    out[0] = target
+    n = 0
+    while n < num_negatives:
+        cand = rng.integers(1, vocab_size, size=2 * (num_negatives - n))
+        for c in cand:
+            if c not in forbidden:
+                out[1 + n] = c
+                forbidden.add(int(c))
+                n += 1
+                if n == num_negatives:
+                    break
+    return out
+
+
+def evaluate(
+    model,
+    params,
+    ds: SequenceDataset,
+    eval_cfg: EvalConfig,
+    *,
+    split: str = "val",
+    max_len: int = 200,
+    donate: bool = False,
+) -> Dict[str, float]:
+    B = eval_cfg.batch_size
+
+    @jax.jit
+    def step_full(params, batch):
+        scores = model.apply(
+            params, batch["inputs"], batch["mask"], method=model.scores
+        )
+        scores = mask_scores(scores)
+        ranks = ranks_from_scores(scores, batch["target"])
+        return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
+
+    @jax.jit
+    def step_sampled(params, batch):
+        scores = model.apply(
+            params,
+            batch["inputs"],
+            batch["mask"],
+            method=model.scores,
+            candidates=batch["candidates"],
+        )
+        target_idx = jnp.zeros(scores.shape[0], dtype=jnp.int32)
+        ranks = ranks_from_scores(scores, target_idx)
+        return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
+
+    rng = np.random.default_rng(eval_cfg.seed)
+    sums: Optional[Dict[str, np.ndarray]] = None
+    for batch in make_eval_batches(
+        ds, split=split, batch_size=B, max_len=max_len,
+        max_batches=eval_cfg.max_batches,
+    ):
+        batch = pad_batch_rows(batch, B)
+        if eval_cfg.protocol == "sampled":
+            cands = np.stack(
+                [
+                    sample_eval_candidates(
+                        batch["inputs"][r][batch["mask"][r] > 0],
+                        int(batch["target"][r]),
+                        eval_cfg.num_negatives,
+                        ds.vocab_size,
+                        rng,
+                    )
+                    for r in range(B)
+                ]
+            )
+            batch = dict(batch, candidates=cands)
+            out = step_sampled(params, batch)
+        elif eval_cfg.protocol == "full":
+            out = step_full(params, batch)
+        else:
+            raise ValueError(f"unknown eval protocol {eval_cfg.protocol!r}")
+        out = jax.device_get(out)
+        if sums is None:
+            sums = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+        else:
+            for k, v in out.items():
+                sums[k] += np.asarray(v, dtype=np.float64)
+    if sums is None:
+        return {"count": 0.0}
+    return finalize_metrics(sums)

@@ -1,0 +1,245 @@
+"""SeqRecModel (L3): embedding table + sequence tower + scoring heads.
+
+One flax module owns the item table so input/output tying is natural
+(SURVEY.md §2 #8-#12). The heads are methods:
+
+- ``encode``: ids -> per-step hidden states,
+- ``loss``: masked full-softmax / sampled-softmax / BPR training loss,
+- ``scores``: eval-time logits vs. the full catalog or a candidate set.
+
+Batch layout (produced by seqrec_tpu.data): ``inputs`` [B, T] int32 item ids
+(0 = pad), ``targets`` [B, T] next-item ids, ``mask`` [B, T] {0,1} — loss and
+metrics only count positions with mask 1 (SURVEY.md §2 #13).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from seqrec_tpu import ops
+from seqrec_tpu.config import MeshConfig, ModelConfig
+from seqrec_tpu.models.towers import GRUTower, SASRecTower
+from seqrec_tpu.ops import xla as xla_ops
+
+PAD_ID = 0
+
+
+class SeqRecModel(nn.Module):
+    vocab_size: int  # includes pad id 0
+    # Table row count >= vocab_size; padded up so row-sharding over the model
+    # axis divides evenly (parallel.embedding.padded_vocab). Rows >= vocab_size
+    # are never valid ids; their logit columns are masked to -inf.
+    table_size: Optional[int] = None
+    arch: str = "gru4rec"
+    embed_dim: int = 64
+    hidden: int = 64
+    num_layers: int = 1
+    num_heads: int = 1
+    mlp_dim: int = 256
+    max_len: int = 200
+    dropout_rate: float = 0.1
+    loss_type: str = "full_softmax"
+    tie_embeddings: bool = True
+    output_bias: bool = True
+    use_pallas: bool = True
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+    # Sharded-embedding engine (L2). When `mesh` is set and shard_embeddings
+    # is True, the table is row-sharded over the 'model' axis and lookups go
+    # through the collective exchange in seqrec_tpu.parallel.
+    mesh: Optional[Mesh] = None
+    shard_embeddings: bool = False
+    dedup_lookup: bool = True
+
+    def setup(self):
+        rows = self.table_size if self.table_size is not None else self.vocab_size
+        if rows < self.vocab_size:
+            raise ValueError("table_size must be >= vocab_size")
+        self._rows = rows
+        self.item_embedding = self.param(
+            "item_embedding",
+            nn.initializers.normal(1.0 / (self.embed_dim ** 0.5)),
+            (rows, self.embed_dim),
+            self.param_dtype,
+        )
+        if self.tie_embeddings:
+            if self.hidden != self.embed_dim:
+                raise ValueError("tie_embeddings requires hidden == embed_dim")
+        else:
+            self.output_embedding = self.param(
+                "output_embedding",
+                nn.initializers.normal(1.0 / (self.hidden ** 0.5)),
+                (rows, self.hidden),
+                self.param_dtype,
+            )
+        if self.output_bias:
+            self.out_bias = self.param(
+                "output_bias", nn.initializers.zeros, (rows,), self.param_dtype
+            )
+        if self.arch == "gru4rec":
+            self.tower = GRUTower(
+                hidden=self.hidden,
+                num_layers=self.num_layers,
+                dropout_rate=self.dropout_rate,
+                use_pallas=self.use_pallas,
+                param_dtype=self.param_dtype,
+            )
+        elif self.arch == "sasrec":
+            self.tower = SASRecTower(
+                hidden=self.hidden,
+                num_layers=self.num_layers,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                max_len=self.max_len,
+                dropout_rate=self.dropout_rate,
+                use_pallas=self.use_pallas,
+                param_dtype=self.param_dtype,
+            )
+        else:
+            raise ValueError(f"unknown arch {self.arch!r}")
+        self.input_dropout = nn.Dropout(self.dropout_rate)
+
+    # ---- helpers -------------------------------------------------------
+
+    def _out_table(self) -> jax.Array:
+        return self.item_embedding if self.tie_embeddings else self.output_embedding
+
+    def _bias(self) -> Optional[jax.Array]:
+        return self.out_bias if self.output_bias else None
+
+    def _lookup(self, table: jax.Array, ids: jax.Array) -> jax.Array:
+        if self.shard_embeddings and self.mesh is not None:
+            from seqrec_tpu.parallel.embedding import sharded_gather
+
+            out = sharded_gather(table, ids, self.mesh, dedup=self.dedup_lookup)
+        else:
+            out = ops.embedding_gather(table, ids, use_pallas=self.use_pallas)
+        return out.astype(self.compute_dtype)
+
+    # ---- public methods -------------------------------------------------
+
+    def __call__(self, inputs: jax.Array, mask: jax.Array, *, deterministic: bool = True):
+        return self.encode(inputs, mask, deterministic=deterministic)
+
+    def encode(self, inputs: jax.Array, mask: jax.Array, *, deterministic: bool = True):
+        x = self._lookup(self.item_embedding, inputs)
+        if self.arch == "gru4rec" and self.dropout_rate > 0.0:
+            x = self.input_dropout(x, deterministic=deterministic)
+        return self.tower(x, mask, deterministic=deterministic)
+
+    def loss(
+        self,
+        batch: Dict[str, jax.Array],
+        *,
+        neg_ids: Optional[jax.Array] = None,  # [S] shared sampled negatives
+        neg_log_q: Optional[jax.Array] = None,  # [S]
+        deterministic: bool = False,
+    ):
+        """Masked training loss. Returns (sum_loss, sum_weight)."""
+        inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
+        h = self.encode(inputs, mask, deterministic=deterministic)
+        B, T, H = h.shape
+        h2 = h.reshape(B * T, H)
+        t2 = targets.reshape(B * T)
+        w2 = mask.reshape(B * T).astype(jnp.float32)
+
+        out_table = self._out_table()
+        if self.loss_type == "full_softmax":
+            return xla_ops.full_softmax_loss(
+                h2, out_table.astype(self.compute_dtype), t2, w2, bias=self._bias(),
+                num_valid=self.vocab_size if self._rows > self.vocab_size else None,
+            )
+        if self.loss_type in ("sampled_softmax", "bpr"):
+            if neg_ids is None:
+                raise ValueError(f"{self.loss_type} needs neg_ids")
+            pos_emb = self._lookup(out_table, t2)
+            neg_emb = ops.embedding_gather(
+                out_table, neg_ids, use_pallas=self.use_pallas
+            ).astype(self.compute_dtype)
+            if self.loss_type == "sampled_softmax":
+                pos_log_q = None
+                if neg_log_q is not None:
+                    from seqrec_tpu.data.negative import log_uniform_log_prob
+
+                    pos_log_q = log_uniform_log_prob(t2, self.vocab_size)
+                return xla_ops.sampled_softmax_loss(
+                    h2, pos_emb, neg_emb, t2, neg_ids, w2,
+                    pos_log_q=pos_log_q, neg_log_q=neg_log_q,
+                )
+            return xla_ops.bpr_loss(h2, pos_emb, neg_emb, t2, neg_ids, w2)
+        raise ValueError(f"unknown loss {self.loss_type!r}")
+
+    def scores(
+        self,
+        inputs: jax.Array,
+        mask: jax.Array,
+        *,
+        candidates: Optional[jax.Array] = None,  # [B, C] per-row candidate ids
+    ) -> jax.Array:
+        """Eval-time scores from the LAST real position of each row.
+
+        Returns [B, V] (candidates=None) or [B, C]. Pad rows (mask all-zero)
+        produce garbage scores; eval masks them out.
+        """
+        h = self.encode(inputs, mask, deterministic=True)
+        last = jnp.maximum(jnp.sum(mask.astype(jnp.int32), axis=1) - 1, 0)
+        h_last = jnp.take_along_axis(h, last[:, None, None], axis=1)[:, 0]  # [B, H]
+        out_table = self._out_table()
+        bias = self._bias()
+        if candidates is None:
+            logits = xla_ops.full_logits(
+                h_last, out_table.astype(self.compute_dtype), bias
+            ).astype(jnp.float32)
+            if self._rows > self.vocab_size:
+                cols = jnp.arange(self._rows)
+                logits = jnp.where(cols[None, :] < self.vocab_size, logits, -1e30)
+            return logits
+        cand_emb = ops.embedding_gather(
+            out_table, candidates, use_pallas=self.use_pallas
+        ).astype(self.compute_dtype)  # [B, C, H]
+        logits = jnp.einsum("bh,bch->bc", h_last, cand_emb).astype(jnp.float32)
+        if bias is not None:
+            logits = logits + jnp.take(bias, candidates, axis=0).astype(jnp.float32)
+        return logits
+
+
+def build_model(
+    cfg: ModelConfig,
+    vocab_size: int,
+    mesh: Optional[Mesh] = None,
+    mesh_cfg: Optional[MeshConfig] = None,
+) -> SeqRecModel:
+    mesh_cfg = mesh_cfg or MeshConfig()
+    shard = bool(mesh_cfg.shard_embeddings and mesh is not None)
+    table_size = vocab_size
+    if shard:
+        from seqrec_tpu.parallel.embedding import padded_vocab
+        from seqrec_tpu.runtime.mesh import MODEL_AXIS
+
+        table_size = padded_vocab(vocab_size, mesh.shape[MODEL_AXIS])
+    return SeqRecModel(
+        vocab_size=vocab_size,
+        table_size=table_size,
+        arch=cfg.arch,
+        embed_dim=cfg.embed_dim,
+        hidden=cfg.hidden,
+        num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads,
+        mlp_dim=cfg.mlp_dim if cfg.mlp_dim is not None else 4 * cfg.embed_dim,
+        max_len=cfg.max_len,
+        dropout_rate=cfg.dropout_rate,
+        loss_type=cfg.loss,
+        tie_embeddings=cfg.tie_embeddings,
+        output_bias=cfg.loss == "full_softmax",
+        use_pallas=cfg.use_pallas,
+        param_dtype=jnp.dtype(cfg.param_dtype),
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+        mesh=mesh,
+        shard_embeddings=shard,
+        dedup_lookup=mesh_cfg.dedup_lookup,
+    )

@@ -1,0 +1,151 @@
+"""Sequence towers (L3): GRU4Rec-style recurrent and SASRec-style causal
+self-attention encoders.
+
+Both map embedded item sequences [B, T, D] -> per-step hidden states
+[B, T, H] where position t encodes the prefix items[0..t] and is used to
+score the next item (SURVEY.md §3.3). Towers are deliberately thin flax
+modules over the fused ops in `seqrec_tpu.ops` so the hot path is a single
+kernel (Pallas) or a tight XLA loop, not module soup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from seqrec_tpu import ops
+
+
+class GRUTower(nn.Module):
+    """Stacked GRU encoder (GRU4Rec; Hidasi et al., ICLR'16 lineage).
+
+    num_layers GRU layers with optional inter-layer dropout; hidden size
+    `hidden` per layer. Initial state is zeros (sessions start fresh each
+    batch row — batch layout is one session/user-sequence per row).
+    """
+
+    hidden: int
+    num_layers: int = 1
+    dropout_rate: float = 0.0
+    use_pallas: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, T, _ = x.shape
+        h = x
+        for layer in range(self.num_layers):
+            d_in = h.shape[-1]
+            w_x = self.param(
+                f"gru{layer}_wx",
+                nn.initializers.glorot_uniform(),
+                (d_in, 3 * self.hidden),
+                self.param_dtype,
+            )
+            w_h = self.param(
+                f"gru{layer}_wh",
+                nn.initializers.orthogonal(column_axis=-1),
+                (self.hidden, 3 * self.hidden),
+                self.param_dtype,
+            )
+            b_x = self.param(
+                f"gru{layer}_bx", nn.initializers.zeros, (3 * self.hidden,), self.param_dtype
+            )
+            b_h = self.param(
+                f"gru{layer}_bh", nn.initializers.zeros, (3 * self.hidden,), self.param_dtype
+            )
+            h0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
+            h, _ = ops.gru_scan(
+                h, h0, w_x, w_h, b_x, b_h, use_pallas=self.use_pallas
+            )
+            if self.dropout_rate > 0.0 and layer < self.num_layers - 1:
+                h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h
+
+
+class SASRecBlock(nn.Module):
+    """One SASRec transformer block: pre-LN causal MHA + pointwise FFN."""
+
+    hidden: int
+    num_heads: int
+    mlp_dim: int
+    dropout_rate: float
+    use_pallas: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, T, H = x.shape
+        Dh = self.hidden // self.num_heads
+        y = nn.LayerNorm(dtype=x.dtype, param_dtype=self.param_dtype)(x)
+        qkv = nn.DenseGeneral(
+            (3, self.num_heads, Dh),
+            dtype=x.dtype,
+            param_dtype=self.param_dtype,
+            name="qkv",
+        )(y)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, N, Dh]
+        attn = ops.causal_attention(q, k, v, use_pallas=self.use_pallas)
+        attn = attn.reshape(B, T, self.num_heads * Dh)
+        attn = nn.Dense(
+            self.hidden, dtype=x.dtype, param_dtype=self.param_dtype, name="proj"
+        )(attn)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        x = x + attn
+
+        y = nn.LayerNorm(dtype=x.dtype, param_dtype=self.param_dtype)(x)
+        y = nn.Dense(self.mlp_dim, dtype=x.dtype, param_dtype=self.param_dtype)(y)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = nn.Dense(self.hidden, dtype=x.dtype, param_dtype=self.param_dtype)(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return x + y
+
+
+class SASRecTower(nn.Module):
+    """SASRec encoder (Kang & McAuley, ICDM'18 lineage): learned positional
+    embeddings + N causal self-attention blocks + final LayerNorm.
+
+    Causality guarantees position t never sees items > t (leak test in
+    tests/models). Padding sits at the tail, so causal masking alone keeps
+    real positions clean of pad keys; pad positions' outputs are dropped by
+    the loss mask.
+    """
+
+    hidden: int
+    num_layers: int
+    num_heads: int
+    mlp_dim: int
+    max_len: int
+    dropout_rate: float = 0.1
+    use_pallas: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        B, T, H = x.shape
+        pos_table = self.param(
+            "pos_embedding",
+            nn.initializers.normal(0.02),
+            (self.max_len, self.hidden),
+            self.param_dtype,
+        )
+        x = x * (self.hidden ** 0.5)
+        x = x + pos_table[None, :T].astype(x.dtype)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        # Zero pad positions so they contribute nothing downstream.
+        x = x * mask[:, :, None].astype(x.dtype)
+        for _ in range(self.num_layers):
+            x = SASRecBlock(
+                hidden=self.hidden,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dropout_rate=self.dropout_rate,
+                use_pallas=self.use_pallas,
+                param_dtype=self.param_dtype,
+            )(x, deterministic=deterministic)
+            x = x * mask[:, :, None].astype(x.dtype)
+        return nn.LayerNorm(dtype=x.dtype, param_dtype=self.param_dtype)(x)

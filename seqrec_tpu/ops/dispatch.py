@@ -1,0 +1,60 @@
+"""Per-op dispatch between Pallas TPU kernels and XLA fallbacks.
+
+Pallas kernels are used when (a) the caller asked for them
+(``use_pallas=True``) and (b) the default backend is TPU. Everything else
+(CPU tests, debugging) takes the XLA oracle path. Kernel parity tests compare
+the two directly (SURVEY.md §4 kernel tier).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+from seqrec_tpu.ops import xla as xla_ops
+
+
+@functools.cache
+def pallas_supported() -> bool:
+    """True when the default backend can run compiled Mosaic kernels."""
+    if os.environ.get("SEQREC_FORCE_XLA_OPS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def _use_pallas(flag: bool) -> bool:
+    return bool(flag) and pallas_supported()
+
+
+def embedding_gather(table, ids, *, use_pallas: bool = True):
+    if _use_pallas(use_pallas):
+        from seqrec_tpu.ops.pallas import gather as pl_gather
+
+        if pl_gather.supported(table, ids):
+            return pl_gather.embedding_gather(table, ids)
+    return xla_ops.embedding_gather(table, ids)
+
+
+def gru_scan(x, h0, w_x, w_h, b_x=None, b_h=None, *, reset_mask=None,
+             use_pallas: bool = True):
+    if _use_pallas(use_pallas):
+        from seqrec_tpu.ops.pallas import gru as pl_gru
+
+        if pl_gru.supported(x, h0):
+            return pl_gru.gru_scan(x, h0, w_x, w_h, b_x, b_h,
+                                   reset_mask=reset_mask)
+    return xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h, reset_mask=reset_mask)
+
+
+def causal_attention(q, k, v, *, scale=None, use_pallas: bool = True):
+    if _use_pallas(use_pallas):
+        from seqrec_tpu.ops.pallas import attention as pl_attn
+
+        if pl_attn.supported(q):
+            return pl_attn.causal_attention(q, k, v, scale=scale)
+    return xla_ops.causal_attention(q, k, v, scale=scale)

@@ -1,0 +1,208 @@
+"""Fused Pallas GRU scan (SURVEY.md §2 #5; TF `GRUBlockCell` analog).
+
+TPU-first layout (see ops/xla.py for the gate convention — identical math):
+
+- the input projections ``x @ W`` for all T steps are ONE big [B*T, 3H]
+  matmul done by XLA on the MXU before the kernel (compute-bound, already
+  optimal there);
+- the Pallas kernel owns the sequential part: grid=(T,), one step per grid
+  slot. TPU grid execution is sequential, so the hidden state lives in a
+  VMEM scratch buffer that persists across grid steps — h and the recurrent
+  weights U stay on-chip for the entire scan, no HBM round-trip per step
+  (the whole point vs. a lax.scan of separate ops);
+- per step: h @ U on the MXU ([B, H] x [H, 3H]) + VPU gate math, writing
+  the step's output block.
+
+Backward: analytic BPTT over the saved per-step outputs (standard GRU
+gradient identities), expressed as a reverse lax.scan of dense XLA ops — the
+two matmuls per step dominate and land on the MXU; Pallas adds little there
+until the sizes grow, and the XLA version doubles as the grad oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seqrec_tpu.ops import xla as xla_ops
+
+
+def supported(x: jax.Array, h0: jax.Array) -> bool:
+    """Kernel constraints: lane-aligned hidden dim, modest B*H VMEM use."""
+    H = h0.shape[-1]
+    B = h0.shape[0]
+    # Sublane-aligned hidden dim (Mosaic pads the lane dim as needed); keep
+    # the VMEM footprint (h, per-step blocks, weights) well under budget.
+    vmem = 4 * (B * 3 * H + B * H * 2 + H * 3 * H)
+    return H % 8 == 0 and vmem < 8 * 1024 * 1024
+
+
+def _gru_step_kernel(x_proj_ref, w_h_ref, b_h_ref, h0_ref, ys_ref, h_ref):
+    """One time step per grid slot; h_ref is persistent VMEM scratch."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = h0_ref[:]
+
+    h = h_ref[:]
+    h_proj = (
+        jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
+        + b_h_ref[:]
+    )
+    xp = x_proj_ref[0]
+    H = h.shape[-1]
+    xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
+    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_next = ((1.0 - z) * n + z * h).astype(h_ref.dtype)
+    h_ref[:] = h_next
+    ys_ref[0] = h_next
+
+
+def _gru_forward_pallas(
+    x_proj: jax.Array,  # [B, T, 3H] fp32 (x @ W + b_x already applied)
+    h0: jax.Array,  # [B, H]
+    w_h: jax.Array,  # [H, 3H]
+    b_h: jax.Array,  # [3H]
+    *,
+    interpret: bool = False,
+) -> jax.Array:  # ys [B, T, H]
+    B, T, H3 = x_proj.shape
+    H = H3 // 3
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 3H] — time-major for the grid
+    ys = pl.pallas_call(
+        _gru_step_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_h (as [1, 3H])
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+        ],
+        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), x_proj.dtype)],
+        interpret=interpret,
+    )(xs, w_h, b_h.reshape(1, H3), h0)
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def _gru_bwd_math(
+    x_proj: jax.Array,  # [B, T, 3H]
+    hs: jax.Array,  # [B, T, H] outputs (h_1..h_T)
+    h0: jax.Array,  # [B, H]
+    w_h: jax.Array,  # [H, 3H]
+    b_h: jax.Array,  # [3H]
+    g_ys: jax.Array,  # [B, T, H] cotangent of outputs
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Analytic GRU BPTT (reverse scan). Returns (d_x_proj, d_h0, d_w_h, d_b_h).
+
+    Per step (forward): r = σ(xr+hr), z = σ(xz+hz), n = tanh(xn + r*hn),
+    h' = (1-z) n + z h, where [hr|hz|hn] = h @ U + b_h.
+    """
+    H = h0.shape[-1]
+    dtype = x_proj.dtype
+
+    h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)  # [B,T,H]
+
+    def step(carry, inp):
+        dh_next, dW, db = carry
+        xp, h_prev, h_out, g_y = inp
+        dh = dh_next + g_y
+        # Recompute gates from saved tensors (cheap VPU math + 1 matmul).
+        h_proj = jnp.dot(h_prev, w_h, preferred_element_type=dtype) + b_h
+        xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
+        hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        # h_out = (1-z) n + z h_prev
+        dn = dh * (1.0 - z)
+        dz = dh * (h_prev - n)
+        dpre_n = dn * (1.0 - n * n)  # d(xn + r*hn)
+        dr = dpre_n * hn
+        dpre_z = dz * z * (1.0 - z)
+        dpre_r = dr * r * (1.0 - r)
+        d_xp = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+        d_hproj = jnp.concatenate(
+            [dpre_r, dpre_z, dpre_n * r], axis=-1
+        )  # [B, 3H]
+        dh_prev = (
+            dh * z
+            + jnp.dot(d_hproj, w_h.T, preferred_element_type=dtype)
+        )
+        dW = dW + jnp.dot(h_prev.T, d_hproj, preferred_element_type=dtype)
+        db = db + jnp.sum(d_hproj, axis=0)
+        return (dh_prev, dW, db), d_xp
+
+    inps = (
+        jnp.swapaxes(x_proj, 0, 1),
+        jnp.swapaxes(h_prev_all, 0, 1),
+        jnp.swapaxes(hs, 0, 1),
+        jnp.swapaxes(g_ys, 0, 1),
+    )
+    init = (
+        jnp.zeros_like(h0),
+        jnp.zeros_like(w_h),
+        jnp.zeros_like(b_h),
+    )
+    (dh0, dW, db), d_xp_t = lax.scan(step, init, inps, reverse=True)
+    return jnp.swapaxes(d_xp_t, 0, 1), dh0, dW, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gru_core(x_proj, h0, w_h, b_h, interpret):
+    return _gru_forward_pallas(x_proj, h0, w_h, b_h, interpret=interpret)
+
+
+def _gru_core_fwd(x_proj, h0, w_h, b_h, interpret):
+    ys = _gru_forward_pallas(x_proj, h0, w_h, b_h, interpret=interpret)
+    return ys, (x_proj, ys, h0, w_h, b_h)
+
+
+def _gru_core_bwd(interpret, res, g_ys):
+    x_proj, ys, h0, w_h, b_h = res
+    d_xp, dh0, dW, db = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys)
+    return d_xp, dh0, dW, db
+
+
+_gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
+
+
+def gru_scan(
+    x: jax.Array,  # [B, T, D_in]
+    h0: jax.Array,  # [B, H]
+    w_x: jax.Array,  # [D_in, 3H]
+    w_h: jax.Array,  # [H, 3H]
+    b_x: Optional[jax.Array] = None,
+    b_h: Optional[jax.Array] = None,
+    *,
+    reset_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in fused version of ops.xla.gru_scan (same signature/semantics).
+
+    reset_mask is not supported by the fused kernel (dispatch falls back).
+    """
+    if reset_mask is not None:
+        return xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h,
+                                reset_mask=reset_mask)
+    dtype = x.dtype
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype))
+    if b_x is not None:
+        x_proj = x_proj + b_x.astype(dtype)
+    b_h_c = (b_h if b_h is not None else jnp.zeros(w_h.shape[-1], dtype))
+    ys = _gru_core(x_proj, h0.astype(dtype), w_h.astype(dtype),
+                   b_h_c.astype(dtype), interpret)
+    return ys, ys[:, -1]

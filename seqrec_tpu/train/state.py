@@ -1,0 +1,57 @@
+"""Train state + optimizer factory (L5).
+
+Mirrors the reference's SGD/Adam + clip Session loop capabilities
+(SURVEY.md §2 #21) on optax, with LR schedules and grad-norm clipping.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+from seqrec_tpu.config import TrainConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # scalar int32
+    params: Any
+    opt_state: Any
+    rng: jax.Array  # PRNG key, folded with step inside the train step
+
+
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    if cfg.lr_schedule == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(cfg.learning_rate, cfg.num_steps)
+    if cfg.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.num_steps, cfg.warmup_steps + 1),
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = make_schedule(cfg)
+    if cfg.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif cfg.optimizer == "adagrad":
+        opt = optax.adagrad(sched)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(sched)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = []
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay and cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(opt)
+    return optax.chain(*chain)

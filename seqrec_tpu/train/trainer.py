@@ -1,0 +1,315 @@
+"""Training engine (L5): jit/pjit train loop over bucketed batches.
+
+Contrast with the reference's Session loop (SURVEY.md §3.1): the whole step —
+embedding lookup (possibly a collective exchange), tower, head, backward,
+optimizer — is ONE compiled XLA program per bucket shape; Python is only the
+feeder. Grad reduction over the 'data' axis and embedding-shard collectives
+are emitted by XLA from the shardings, never written by hand here.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from seqrec_tpu.config import RunConfig
+from seqrec_tpu.data.batching import make_train_batches
+from seqrec_tpu.data.dataset import SequenceDataset, load_dataset
+from seqrec_tpu.data.negative import sample_negatives
+from seqrec_tpu.eval.harness import evaluate
+from seqrec_tpu.models import build_model
+from seqrec_tpu.runtime import make_mesh
+from seqrec_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
+from seqrec_tpu.train.checkpoint import CheckpointManager, abstract_like
+from seqrec_tpu.train.state import TrainState, make_optimizer, make_schedule
+from seqrec_tpu.utils.logging import Heartbeat, MetricsLogger
+
+
+class Trainer:
+    def __init__(self, cfg: RunConfig, ds: Optional[SequenceDataset] = None,
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.ds = ds if ds is not None else load_dataset(cfg.data)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.model_axis)
+        self.model = build_model(
+            cfg.model, self.ds.vocab_size, mesh=self.mesh, mesh_cfg=cfg.mesh
+        )
+        self.optimizer = make_optimizer(cfg.train)
+        self.schedule = make_schedule(cfg.train)
+        self.num_devices = self.mesh.size
+        local_mesh_devices = sum(
+            1 for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
+        self.local_batch = cfg.data.batch_size * local_mesh_devices
+        self.global_batch = cfg.data.batch_size * self.num_devices
+
+        # ---- shardings ---------------------------------------------------
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sharding = NamedSharding(self.mesh, P((DATA_AXIS, MODEL_AXIS)))
+        self._needs_vocab_shard = bool(
+            cfg.mesh.shard_embeddings and self.mesh.shape[MODEL_AXIS] > 1
+        )
+
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,),
+        )
+
+    # ---- sharding helpers ----------------------------------------------
+
+    def _leaf_sharding(self, leaf) -> NamedSharding:
+        """Row-shard any vocab-leading leaf (embedding tables + their
+        optimizer moments + output bias) over the model axis; replicate the
+        rest (towers are small, SURVEY.md §2.2)."""
+        shape = getattr(leaf, "shape", ())
+        if (
+            self._needs_vocab_shard
+            and len(shape) >= 1
+            and shape[0] == self.model.table_size
+        ):
+            return NamedSharding(
+                self.mesh, P(MODEL_AXIS, *([None] * (len(shape) - 1)))
+            )
+        return self._repl
+
+    def state_sharding(self, abstract_state: TrainState):
+        return jax.tree.map(self._leaf_sharding, abstract_state)
+
+    # ---- state init -----------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.train.seed if seed is None else seed
+        T = self.cfg.data.buckets[0] if self.cfg.data.buckets else self.cfg.data.max_len
+
+        # Dummy batch leading dim must divide the mesh (sharded lookup uses
+        # shard_map over ('data','model')).
+        dummy_b = self.num_devices
+
+        def _init(rng) -> TrainState:
+            dummy_ids = jnp.zeros((dummy_b, T), jnp.int32)
+            dummy_mask = jnp.ones((dummy_b, T), jnp.float32)
+            params = self.model.init(rng, dummy_ids, dummy_mask)
+            opt_state = self.optimizer.init(params["params"])
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=opt_state,
+                rng=jax.random.key(seed + 1),
+            )
+
+        abstract = jax.eval_shape(_init, jax.random.key(seed))
+        shardings = self.state_sharding(abstract)
+        return jax.jit(_init, out_shardings=shardings)(jax.random.key(seed))
+
+    # ---- the compiled step ----------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        cfg = self.cfg
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        neg_rng, dropout_rng = jax.random.split(step_rng)
+
+        neg_ids = neg_log_q = None
+        if cfg.model.loss in ("sampled_softmax", "bpr"):
+            neg_ids, neg_log_q = sample_negatives(
+                neg_rng, cfg.model.num_negatives, self.ds.vocab_size,
+                cfg.data.neg_sampler,
+            )
+            if cfg.model.loss == "bpr":
+                neg_log_q = None
+
+        def loss_fn(params):
+            loss_sum, w_sum = self.model.apply(
+                params,
+                batch,
+                neg_ids=neg_ids,
+                neg_log_q=neg_log_q,
+                deterministic=False,
+                method=self.model.loss,
+                rngs={"dropout": dropout_rng},
+            )
+            return loss_sum / jnp.maximum(w_sum, 1.0), (loss_sum, w_sum)
+
+        (loss, (loss_sum, w_sum)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if cfg.train.debug_nans:
+            grads = jax.tree.map(
+                lambda g: jax.lax.select(
+                    jnp.isfinite(g).all(), g, jnp.nan_to_num(g)
+                ),
+                grads,
+            )
+        updates, new_opt = self.optimizer.update(
+            grads["params"], state.opt_state, state.params["params"]
+        )
+        new_params = {"params": optax.apply_updates(state.params["params"], updates)}
+        gnorm = optax.global_norm(grads["params"])
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            rng=state.rng,
+        )
+        metrics = {
+            "loss": loss,
+            "tokens": w_sum,
+            "grad_norm": gnorm,
+        }
+        return new_state, metrics
+
+    # ---- host-side batch placement --------------------------------------
+
+    def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        out = {}
+        for k, v in batch.items():
+            out[k] = jax.make_array_from_process_local_data(
+                self._batch_sharding, v
+            )
+        return out
+
+    # ---- data ------------------------------------------------------------
+
+    def train_iterator(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        return make_train_batches(
+            self.ds,
+            batch_size=self.local_batch,
+            max_len=self.cfg.data.max_len,
+            buckets=self.cfg.data.buckets,
+            seed=self.cfg.data.seed,
+            host_shard=(jax.process_index(), jax.process_count()),
+        )
+
+    def precompile(self, state: TrainState) -> None:
+        """AOT-compile one executable per bucket BEFORE the hot loop
+        (SURVEY.md §7.3 item 3: no mid-training compile stalls)."""
+        buckets = self.cfg.data.buckets or (self.cfg.data.max_len,)
+        for b in buckets:
+            dummy = {
+                "inputs": np.zeros((self.local_batch, b), np.int32),
+                "targets": np.zeros((self.local_batch, b), np.int32),
+                "mask": np.zeros((self.local_batch, b), np.float32),
+            }
+            self._train_step.lower(state, self.put_batch(dummy)).compile()
+
+    # ---- the loop --------------------------------------------------------
+
+    def fit(self, state: Optional[TrainState] = None) -> Tuple[TrainState, Dict[str, float]]:
+        cfg = self.cfg
+        out_dir = cfg.train.out_dir
+        logger = MetricsLogger(out_dir)
+        heartbeat = Heartbeat(out_dir) if out_dir else None
+        ckpt = (
+            CheckpointManager(
+                os.path.join(out_dir, "ckpt"), keep=cfg.train.keep_checkpoints
+            )
+            if out_dir and cfg.train.checkpoint_every > 0
+            else None
+        )
+
+        data_position = 0
+        if state is None:
+            state = self.init_state()
+            if cfg.train.resume and ckpt is not None and ckpt.latest_step() is not None:
+                state, _, data_position = ckpt.restore(abstract_like(state))
+        if jax.process_index() == 0 and out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            self.cfg.save(os.path.join(out_dir, "config.json"))
+
+        it = self.train_iterator()
+        for _ in range(data_position):  # fast-forward after resume
+            next(it)
+
+        self.precompile(state)
+
+        start_step = int(jax.device_get(state.step))
+        pending: Optional[Dict[str, jax.Array]] = None
+        pending_step = 0
+        t_window = time.perf_counter()
+        examples_window = 0
+        last_eval: Dict[str, float] = {}
+        profiling = False
+
+        for step in range(start_step, cfg.train.num_steps):
+            if (
+                cfg.train.profile_dir
+                and step == cfg.train.profile_steps[0]
+                and jax.process_index() == 0
+            ):
+                jax.profiler.start_trace(cfg.train.profile_dir)
+                profiling = True
+            bucket, batch = next(it)
+            data_position += 1
+            state, metrics = self._train_step(state, self.put_batch(batch))
+            examples_window += self.global_batch
+            pending, pending_step = metrics, step
+
+            if (step + 1) % cfg.train.log_every == 0:
+                m = jax.device_get(pending)
+                dt = time.perf_counter() - t_window
+                eps = examples_window / dt if dt > 0 else 0.0
+                logger.log(
+                    pending_step,
+                    "train",
+                    {
+                        "loss": m["loss"],
+                        "grad_norm": m["grad_norm"],
+                        "lr": float(self.schedule(pending_step)),
+                        "bucket": bucket,
+                        "examples_per_s": eps,
+                        "examples_per_s_per_chip": eps / self.num_devices,
+                    },
+                )
+                t_window = time.perf_counter()
+                examples_window = 0
+                if heartbeat:
+                    heartbeat.beat(step)
+
+            if profiling and step == cfg.train.profile_steps[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if cfg.train.eval_every > 0 and (step + 1) % cfg.train.eval_every == 0:
+                last_eval = self.evaluate(state, split="val")
+                logger.log(step, "eval/val", last_eval)
+                t_window = time.perf_counter()
+                examples_window = 0
+
+            if ckpt is not None and (step + 1) % cfg.train.checkpoint_every == 0:
+                ckpt.save(step + 1, state, data_position)
+
+            if cfg.train.fail_after_step is not None and step + 1 >= cfg.train.fail_after_step:
+                if ckpt is not None:
+                    if ckpt.latest_step() != step + 1:
+                        ckpt.save(step + 1, state, data_position)
+                    ckpt.wait()
+                logger.log(step, "fault_injection", {"exit_at": step + 1})
+                return state, last_eval
+
+        if ckpt is not None:
+            ckpt.save(cfg.train.num_steps, state, data_position)
+            ckpt.close()
+        if profiling:
+            jax.profiler.stop_trace()
+        logger.close()
+        return state, last_eval
+
+    # ---- eval -----------------------------------------------------------
+
+    def evaluate(self, state: TrainState, split: str = "val") -> Dict[str, float]:
+        return evaluate(
+            self.model,
+            state.params,
+            self.ds,
+            self.cfg.eval,
+            split=split,
+            max_len=self.cfg.data.max_len,
+        )

@@ -1,0 +1,72 @@
+"""Multi-host tier (SURVEY.md §4): 2-process jax.distributed run on localhost,
+CPU backend — validates the DCN control plane + global-metric equality without
+hardware. Skipped quickly if the spawn fails for environmental reasons.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_matches_single(tmp_path):
+    port = _free_port()
+    procs = []
+    env_base = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "SEQREC_FORCE_XLA_OPS": "1",
+    }
+    for pid in range(2):
+        env = dict(env_base)
+        env["SEQREC_TEST_COORD"] = f"127.0.0.1:{port}"
+        env["SEQREC_TEST_NPROC"] = "2"
+        env["SEQREC_TEST_PID"] = str(pid)
+        env["SEQREC_TEST_OUT"] = str(tmp_path / f"proc{pid}.json")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, _WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    # Single-process reference with identical global batch.
+    env = dict(env_base)
+    env["SEQREC_TEST_NPROC"] = "1"
+    env["SEQREC_TEST_PID"] = "0"
+    env["SEQREC_TEST_OUT"] = str(tmp_path / "single.json")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    p = subprocess.run([sys.executable, _WORKER], env=env,
+                       capture_output=True, timeout=600)
+    assert p.returncode == 0, p.stdout.decode() + p.stderr.decode()
+
+    multi = json.load(open(tmp_path / "proc0.json"))
+    single = json.load(open(tmp_path / "single.json"))
+    # Same global device count (2 procs x 2 fake devices = 4): eval metrics
+    # must agree exactly (same data, same deterministic eval).
+    assert multi["devices"] == 4 and single["devices"] == 4
+    assert abs(multi["recall@10"] - single["recall@10"]) < 1e-6
+    assert multi["count"] == single["count"]
