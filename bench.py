@@ -39,7 +39,9 @@ def main() -> int:
         num_items=3_417,  # ML-1M catalog size
         loss="sampled_softmax",
     )
-    steps = 30 if "--cpu" in sys.argv else 100
+    # 400 steps: measured step-time vs chain-length asymptotes by ~200 steps
+    # (relay dispatch overhead amortized); shorter chains overstate step time.
+    steps = 30 if "--cpu" in sys.argv else 400
     result = run_benchmark(cfg, steps=steps, warmup=5)
     eps = result["examples_per_s_per_chip"]
     print(

@@ -62,6 +62,9 @@ class DataConfig:
     seed: int = 0
     # Negative sampling for training loss: "uniform" | "log_uniform".
     neg_sampler: str = "log_uniform"
+    # Use the native C++ threaded data engine when built (make -C native);
+    # falls back to the Python pipeline automatically.
+    use_native_loader: bool = True
     # Synthetic-dataset knobs (BASELINE.json:11 large-catalog config).
     synthetic_num_items: int = 10_000
     synthetic_num_users: int = 2_000

@@ -191,28 +191,37 @@ def synthetic_dataset(
     """
     rng = np.random.default_rng(seed)
     lengths = rng.integers(min_len, max_len + 1, size=num_users)
-    # Zipf ranks (1-based); clip to catalog. Item ids are frequency-ordered
-    # by construction (rank 1 = most likely = id 1).
-    seqs = []
-    offsets = [0]
-    # Each user gets a small preferred-item cluster to create signal.
-    for u in range(num_users):
-        L = int(lengths[u])
-        base = rng.zipf(zipf_a, size=L * 2)
-        base = base[base <= num_items][:L]
-        while len(base) < L:
-            extra = rng.zipf(zipf_a, size=L)
-            base = np.concatenate([base, extra[extra <= num_items]])[:L]
-        seq = base.astype(np.int32)
-        # Inject bigram structure: with p=0.5, item[t] = f(item[t-1]).
-        for t in range(1, L):
-            if rng.random() < 0.5:
-                seq[t] = (seq[t - 1] * 2) % num_items + 1
-        seqs.append(seq)
-        offsets.append(offsets[-1] + L)
+    Lmax = int(lengths.max()) if num_users else 0
+
+    # Vectorized Zipf draws (rank 1 = most likely = id 1; item ids are
+    # frequency-ordered by construction). Rejection-resample values beyond
+    # the catalog a few rounds, then fold the stragglers back in-range —
+    # keeps the whole build O(U * Lmax) numpy ops so the 10M-item / 100k-user
+    # config (SURVEY.md §2 #19) synthesizes in seconds, not hours.
+    grid = rng.zipf(zipf_a, size=(num_users, Lmax)).astype(np.int64)
+    for _ in range(4):
+        bad = grid > num_items
+        if not bad.any():
+            break
+        grid[bad] = rng.zipf(zipf_a, size=int(bad.sum()))
+    np.clip(grid, 1, num_items, out=grid)
+    seq = grid.astype(np.int64)
+
+    # Bigram structure, column-at-a-time (sequential in t, vector in users):
+    # with p=0.5, item[t] = f(item[t-1]) over the MODIFIED sequence, so the
+    # observed transition is learnable wherever the coin lands true.
+    coin = rng.random(size=(num_users, Lmax)) < 0.5
+    for t in range(1, Lmax):
+        f_prev = (seq[:, t - 1] * 2) % num_items + 1
+        seq[:, t] = np.where(coin[:, t], f_prev, seq[:, t])
+
+    mask = np.arange(Lmax)[None, :] < lengths[:, None]
+    flat = seq[mask].astype(np.int32)
+    offsets = np.zeros(num_users + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
     return SequenceDataset(
-        items=np.concatenate(seqs).astype(np.int32),
-        offsets=np.asarray(offsets, dtype=np.int64),
+        items=flat,
+        offsets=offsets,
         vocab_size=num_items + 1,
         name=name,
     )

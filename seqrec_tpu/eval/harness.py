@@ -61,12 +61,34 @@ def evaluate(
     *,
     split: str = "val",
     max_len: int = 200,
+    mesh=None,
     donate: bool = False,
 ) -> Dict[str, float]:
     B = eval_cfg.batch_size
+    # Row-sharded tables: rank against the catalog WITHOUT materializing
+    # [B, V] on any device (eval/sharded.py; SURVEY.md §7.3 item 5).
+    use_sharded = bool(
+        mesh is not None
+        and getattr(model, "shard_embeddings", False)
+        and mesh.shape.get("model", 1) > 1
+    )
 
     @jax.jit
     def step_full(params, batch):
+        if use_sharded:
+            from seqrec_tpu.eval.sharded import sharded_ranks
+
+            h_last = model.apply(
+                params, batch["inputs"], batch["mask"],
+                method=model.last_hidden,
+            )
+            table = model.apply(params, method=model.output_table)
+            bias = model.apply(params, method=model.output_bias_value)
+            ranks = sharded_ranks(
+                table, h_last.astype(jnp.float32), batch["target"], mesh,
+                bias=bias, num_valid=model.vocab_size,
+            )
+            return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
         scores = model.apply(
             params, batch["inputs"], batch["mask"], method=model.scores
         )

@@ -167,12 +167,26 @@ class SeqRecModel(nn.Module):
                     from seqrec_tpu.data.negative import log_uniform_log_prob
 
                     pos_log_q = log_uniform_log_prob(t2, self.vocab_size)
-                return xla_ops.sampled_softmax_loss(
+                return ops.sampled_softmax_loss(
                     h2, pos_emb, neg_emb, t2, neg_ids, w2,
                     pos_log_q=pos_log_q, neg_log_q=neg_log_q,
+                    use_pallas=self.use_pallas,
                 )
             return xla_ops.bpr_loss(h2, pos_emb, neg_emb, t2, neg_ids, w2)
         raise ValueError(f"unknown loss {self.loss_type!r}")
+
+    def last_hidden(self, inputs: jax.Array, mask: jax.Array) -> jax.Array:
+        """[B, H] hidden state at the LAST real position of each row (the
+        next-item query vector; used by the sharded full-catalog eval)."""
+        h = self.encode(inputs, mask, deterministic=True)
+        last = jnp.maximum(jnp.sum(mask.astype(jnp.int32), axis=1) - 1, 0)
+        return jnp.take_along_axis(h, last[:, None, None], axis=1)[:, 0]
+
+    def output_table(self) -> jax.Array:
+        return self._out_table()
+
+    def output_bias_value(self) -> Optional[jax.Array]:
+        return self._bias()
 
     def scores(
         self,
@@ -186,9 +200,7 @@ class SeqRecModel(nn.Module):
         Returns [B, V] (candidates=None) or [B, C]. Pad rows (mask all-zero)
         produce garbage scores; eval masks them out.
         """
-        h = self.encode(inputs, mask, deterministic=True)
-        last = jnp.maximum(jnp.sum(mask.astype(jnp.int32), axis=1) - 1, 0)
-        h_last = jnp.take_along_axis(h, last[:, None, None], axis=1)[:, 0]  # [B, H]
+        h_last = self.last_hidden(inputs, mask)  # [B, H]
         out_table = self._out_table()
         bias = self._bias()
         if candidates is None:

@@ -15,4 +15,5 @@ from seqrec_tpu.ops.dispatch import (  # noqa: F401
     embedding_gather,
     gru_scan,
     pallas_supported,
+    sampled_softmax_loss,
 )

@@ -58,3 +58,20 @@ def causal_attention(q, k, v, *, scale=None, use_pallas: bool = True):
         if pl_attn.supported(q):
             return pl_attn.causal_attention(q, k, v, scale=scale)
     return xla_ops.causal_attention(q, k, v, scale=scale)
+
+
+def sampled_softmax_loss(h, pos_emb, neg_emb, targets, neg_ids, weights, *,
+                         pos_log_q=None, neg_log_q=None,
+                         use_pallas: bool = True):
+    if _use_pallas(use_pallas):
+        from seqrec_tpu.ops.pallas import softmax_head as pl_head
+
+        if pl_head.supported(h, neg_emb):
+            return pl_head.sampled_softmax_loss(
+                h, pos_emb, neg_emb, targets, neg_ids, weights,
+                pos_log_q=pos_log_q, neg_log_q=neg_log_q,
+            )
+    return xla_ops.sampled_softmax_loss(
+        h, pos_emb, neg_emb, targets, neg_ids, weights,
+        pos_log_q=pos_log_q, neg_log_q=neg_log_q,
+    )

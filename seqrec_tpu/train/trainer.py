@@ -179,13 +179,26 @@ class Trainer:
     # ---- data ------------------------------------------------------------
 
     def train_iterator(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        host_shard = (jax.process_index(), jax.process_count())
+        if self.cfg.data.use_native_loader:
+            from seqrec_tpu.data import native
+
+            if native.available():
+                return native.NativeTrainLoader(
+                    self.ds,
+                    batch_size=self.local_batch,
+                    max_len=self.cfg.data.max_len,
+                    buckets=self.cfg.data.buckets,
+                    seed=self.cfg.data.seed,
+                    host_shard=host_shard,
+                )
         return make_train_batches(
             self.ds,
             batch_size=self.local_batch,
             max_len=self.cfg.data.max_len,
             buckets=self.cfg.data.buckets,
             seed=self.cfg.data.seed,
-            host_shard=(jax.process_index(), jax.process_count()),
+            host_shard=host_shard,
         )
 
     def precompile(self, state: TrainState) -> None:
@@ -312,4 +325,5 @@ class Trainer:
             self.cfg.eval,
             split=split,
             max_len=self.cfg.data.max_len,
+            mesh=self.mesh,
         )
