@@ -29,6 +29,7 @@ struct Batch {
   std::vector<int32_t> inputs;   // [B, T]
   std::vector<int32_t> targets;  // [B, T]
   std::vector<float> mask;       // [B, T]
+  std::vector<int32_t> users;    // [B] user id + 1 (0 = unknown)
 };
 
 struct Loader {
@@ -96,8 +97,10 @@ struct Loader {
     b.inputs.assign(static_cast<size_t>(batch_size) * T, 0);
     b.targets.assign(static_cast<size_t>(batch_size) * T, 0);
     b.mask.assign(static_cast<size_t>(batch_size) * T, 0.0f);
+    b.users.assign(static_cast<size_t>(batch_size), 0);
     for (size_t r = 0; r < rows.size(); ++r) {
       int u = rows[r];
+      b.users[r] = u + 1;  // model-boundary ids: 0 = unknown user
       int64_t beg = offsets[u], end = offsets[u + 1] - hold_out;
       int64_t len = end - beg;
       if (len > max_len + 1) {
@@ -147,10 +150,11 @@ void* srd_create(const int32_t* items, int64_t num_items,
 }
 
 // Blocks until a batch is ready; writes into caller buffers sized
-// [batch_size * max_len] (only the first batch_size*T entries are written).
-// Returns the bucket length T, or -1 if the loader is stopped/empty.
+// [batch_size * max_len] (only the first batch_size*T entries are written)
+// plus a [batch_size] users buffer. Returns the bucket length T, or -1 if
+// the loader is stopped/empty.
 int srd_next_batch(void* handle, int32_t* inputs, int32_t* targets,
-                   float* mask) {
+                   float* mask, int32_t* users) {
   auto* L = static_cast<Loader*>(handle);
   Batch b;
   {
@@ -165,6 +169,7 @@ int srd_next_batch(void* handle, int32_t* inputs, int32_t* targets,
   std::memcpy(inputs, b.inputs.data(), n * sizeof(int32_t));
   std::memcpy(targets, b.targets.data(), n * sizeof(int32_t));
   std::memcpy(mask, b.mask.data(), n * sizeof(float));
+  std::memcpy(users, b.users.data(), b.users.size() * sizeof(int32_t));
   return b.bucket;
 }
 

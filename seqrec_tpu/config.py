@@ -34,6 +34,9 @@ class ModelConfig:
     num_negatives: int = 100
     # Share the input embedding table with the output projection.
     tie_embeddings: bool = True
+    # Personalization: add a learned per-user embedding to every input
+    # position (row 0 = unknown user; table row-shards like the item table).
+    use_user_embedding: bool = False
     # Numerics.
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
@@ -69,6 +72,8 @@ class DataConfig:
     synthetic_num_items: int = 10_000
     synthetic_num_users: int = 2_000
     synthetic_zipf_a: float = 1.1
+    synthetic_min_len: int = 5
+    synthetic_max_len: int = 60
     min_seq_len: int = 2
 
 

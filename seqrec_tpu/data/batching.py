@@ -45,16 +45,18 @@ class BucketBatcher:
             self.buckets = self.buckets + (max_len,)
         self.batch_size = batch_size
         self.max_len = max_len
-        self._pending: Dict[int, List[np.ndarray]] = {b: [] for b in self.buckets}
+        self._pending: Dict[int, List[Tuple[int, np.ndarray]]] = {
+            b: [] for b in self.buckets
+        }
 
-    def add(self, seq: np.ndarray) -> Optional[Tuple[int, Batch]]:
+    def add(self, seq: np.ndarray, user: int = 0) -> Optional[Tuple[int, Batch]]:
         """Add one training sequence; returns a full batch when one fills."""
         if len(seq) < 2:
             return None
         if len(seq) > self.max_len + 1:
             seq = seq[-(self.max_len + 1):]
         b = _pick_bucket(len(seq) - 1, self.buckets)
-        self._pending[b].append(seq)
+        self._pending[b].append((user, seq))
         if len(self._pending[b]) == self.batch_size:
             return b, self._emit(b)
         return None
@@ -72,12 +74,15 @@ class BucketBatcher:
         inputs = np.zeros((B, T), dtype=np.int32)
         targets = np.zeros((B, T), dtype=np.int32)
         mask = np.zeros((B, T), dtype=np.float32)
-        for r, seq in enumerate(rows):
+        users = np.zeros((B,), dtype=np.int32)
+        for r, (user, seq) in enumerate(rows):
             L = len(seq) - 1
             inputs[r, :L] = seq[:-1]
             targets[r, :L] = seq[1:]
             mask[r, :L] = 1.0
-        return {"inputs": inputs, "targets": targets, "mask": mask}
+            users[r] = user
+        return {"inputs": inputs, "targets": targets, "mask": mask,
+                "users": users}
 
 
 def make_train_batches(
@@ -103,7 +108,8 @@ def make_train_batches(
         order = rng.permutation(users)
         for u in order:
             s = ds.train_seq(int(u))
-            out = batcher.add(s)
+            # user id u+1 at the model boundary: row 0 = unknown user.
+            out = batcher.add(s, user=int(u) + 1)
             if out is not None:
                 yield out
         epoch += 1
@@ -133,6 +139,7 @@ def make_eval_batches(
         ex = ds.eval_example(u, split)
         if ex is None:
             continue
+        ex = dict(ex, user=u + 1)  # row 0 = unknown user
         rows.append(ex)
         if len(rows) == batch_size:
             yield _pack_eval(rows, max_len)
@@ -150,6 +157,7 @@ def _pack_eval(rows: List[Dict[str, np.ndarray]], max_len: int) -> Batch:
     mask = np.zeros((B, max_len), dtype=np.float32)
     target = np.zeros((B,), dtype=np.int32)
     valid = np.zeros((B,), dtype=np.float32)
+    users = np.zeros((B,), dtype=np.int32)
     for r, ex in enumerate(rows):
         h = ex["history"]
         if len(h) > max_len:
@@ -158,7 +166,9 @@ def _pack_eval(rows: List[Dict[str, np.ndarray]], max_len: int) -> Batch:
         mask[r, : len(h)] = 1.0
         target[r] = ex["target"]
         valid[r] = 1.0
-    return {"inputs": inputs, "mask": mask, "target": target, "valid": valid}
+        users[r] = ex.get("user", 0)
+    return {"inputs": inputs, "mask": mask, "target": target, "valid": valid,
+            "users": users}
 
 
 def pad_batch_rows(batch: Batch, to_rows: int) -> Batch:

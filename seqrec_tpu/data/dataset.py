@@ -311,6 +311,8 @@ def prepare_dataset(name: str, data_dir: str, cfg: Optional[DataConfig] = None) 
             cfg.synthetic_num_items,
             seed=cfg.seed,
             zipf_a=cfg.synthetic_zipf_a,
+            min_len=cfg.synthetic_min_len,
+            max_len=cfg.synthetic_max_len,
         )
     elif name in _RAW_FILES:
         raw_name, parser = _RAW_FILES[name]

@@ -79,6 +79,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int32),
                 ]
                 lib.srd_destroy.restype = None
                 lib.srd_destroy.argtypes = [ctypes.c_void_p]
@@ -137,6 +138,7 @@ class NativeTrainLoader:
         self._inputs = np.empty((batch_size, max_len), np.int32)
         self._targets = np.empty((batch_size, max_len), np.int32)
         self._mask = np.empty((batch_size, max_len), np.float32)
+        self._users = np.empty((batch_size,), np.int32)
 
     def __iter__(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
         return self
@@ -149,6 +151,7 @@ class NativeTrainLoader:
             self._inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self._targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self._mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._users.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         if bucket < 0:
             raise StopIteration
@@ -159,6 +162,7 @@ class NativeTrainLoader:
             "inputs": self._inputs.ravel()[:n].reshape(B, T).copy(),
             "targets": self._targets.ravel()[:n].reshape(B, T).copy(),
             "mask": self._mask.ravel()[:n].reshape(B, T).copy(),
+            "users": self._users.copy(),
         }
 
     def close(self) -> None:

@@ -80,6 +80,7 @@ def evaluate(
 
             h_last = model.apply(
                 params, batch["inputs"], batch["mask"],
+                users=batch.get("users"),
                 method=model.last_hidden,
             )
             table = model.apply(params, method=model.output_table)
@@ -90,7 +91,8 @@ def evaluate(
             )
             return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
         scores = model.apply(
-            params, batch["inputs"], batch["mask"], method=model.scores
+            params, batch["inputs"], batch["mask"],
+            users=batch.get("users"), method=model.scores,
         )
         scores = mask_scores(scores)
         ranks = ranks_from_scores(scores, batch["target"])
@@ -102,6 +104,7 @@ def evaluate(
             params,
             batch["inputs"],
             batch["mask"],
+            users=batch.get("users"),
             method=model.scores,
             candidates=batch["candidates"],
         )

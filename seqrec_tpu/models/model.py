@@ -35,6 +35,11 @@ class SeqRecModel(nn.Module):
     # axis divides evenly (parallel.embedding.padded_vocab). Rows >= vocab_size
     # are never valid ids; their logit columns are masked to -inf.
     table_size: Optional[int] = None
+    # Personalization: user table with num_users+1 rows (0 = unknown), padded
+    # like the item table; user vector is added to every input position.
+    num_users: int = 0
+    use_user_embedding: bool = False
+    user_table_size: Optional[int] = None
     arch: str = "gru4rec"
     embed_dim: int = 64
     hidden: int = 64
@@ -81,6 +86,18 @@ class SeqRecModel(nn.Module):
             self.out_bias = self.param(
                 "output_bias", nn.initializers.zeros, (rows,), self.param_dtype
             )
+        if self.use_user_embedding:
+            u_rows = (
+                self.user_table_size
+                if self.user_table_size is not None
+                else self.num_users + 1
+            )
+            self.user_embedding = self.param(
+                "user_embedding",
+                nn.initializers.normal(1.0 / (self.embed_dim ** 0.5)),
+                (u_rows, self.embed_dim),
+                self.param_dtype,
+            )
         if self.arch == "gru4rec":
             self.tower = GRUTower(
                 hidden=self.hidden,
@@ -123,14 +140,22 @@ class SeqRecModel(nn.Module):
 
     # ---- public methods -------------------------------------------------
 
-    def __call__(self, inputs: jax.Array, mask: jax.Array, *, deterministic: bool = True):
-        return self.encode(inputs, mask, deterministic=deterministic)
+    def __call__(self, inputs: jax.Array, mask: jax.Array, *, users=None,
+                 deterministic: bool = True):
+        return self.encode(inputs, mask, users=users,
+                           deterministic=deterministic)
 
-    def encode(self, inputs: jax.Array, mask: jax.Array, *, deterministic: bool = True):
-        x = self._lookup(self.item_embedding, inputs)
+    def encode(self, inputs: jax.Array, mask: jax.Array, *, users=None,
+               deterministic: bool = True):
+        with jax.named_scope("embedding_lookup"):
+            x = self._lookup(self.item_embedding, inputs)
+            if self.use_user_embedding and users is not None:
+                u = self._lookup(self.user_embedding, users)  # [B, D]
+                x = x + u[:, None, :]
         if self.arch == "gru4rec" and self.dropout_rate > 0.0:
             x = self.input_dropout(x, deterministic=deterministic)
-        return self.tower(x, mask, deterministic=deterministic)
+        with jax.named_scope("tower"):
+            return self.tower(x, mask, deterministic=deterministic)
 
     def loss(
         self,
@@ -142,7 +167,8 @@ class SeqRecModel(nn.Module):
     ):
         """Masked training loss. Returns (sum_loss, sum_weight)."""
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
-        h = self.encode(inputs, mask, deterministic=deterministic)
+        h = self.encode(inputs, mask, users=batch.get("users"),
+                        deterministic=deterministic)
         B, T, H = h.shape
         h2 = h.reshape(B * T, H)
         t2 = targets.reshape(B * T)
@@ -175,10 +201,11 @@ class SeqRecModel(nn.Module):
             return xla_ops.bpr_loss(h2, pos_emb, neg_emb, t2, neg_ids, w2)
         raise ValueError(f"unknown loss {self.loss_type!r}")
 
-    def last_hidden(self, inputs: jax.Array, mask: jax.Array) -> jax.Array:
+    def last_hidden(self, inputs: jax.Array, mask: jax.Array,
+                    users=None) -> jax.Array:
         """[B, H] hidden state at the LAST real position of each row (the
         next-item query vector; used by the sharded full-catalog eval)."""
-        h = self.encode(inputs, mask, deterministic=True)
+        h = self.encode(inputs, mask, users=users, deterministic=True)
         last = jnp.maximum(jnp.sum(mask.astype(jnp.int32), axis=1) - 1, 0)
         return jnp.take_along_axis(h, last[:, None, None], axis=1)[:, 0]
 
@@ -193,6 +220,7 @@ class SeqRecModel(nn.Module):
         inputs: jax.Array,
         mask: jax.Array,
         *,
+        users: Optional[jax.Array] = None,  # [B] user ids
         candidates: Optional[jax.Array] = None,  # [B, C] per-row candidate ids
     ) -> jax.Array:
         """Eval-time scores from the LAST real position of each row.
@@ -200,7 +228,7 @@ class SeqRecModel(nn.Module):
         Returns [B, V] (candidates=None) or [B, C]. Pad rows (mask all-zero)
         produce garbage scores; eval masks them out.
         """
-        h_last = self.last_hidden(inputs, mask)  # [B, H]
+        h_last = self.last_hidden(inputs, mask, users=users)  # [B, H]
         out_table = self._out_table()
         bias = self._bias()
         if candidates is None:
@@ -225,18 +253,24 @@ def build_model(
     vocab_size: int,
     mesh: Optional[Mesh] = None,
     mesh_cfg: Optional[MeshConfig] = None,
+    num_users: int = 0,
 ) -> SeqRecModel:
     mesh_cfg = mesh_cfg or MeshConfig()
     shard = bool(mesh_cfg.shard_embeddings and mesh is not None)
     table_size = vocab_size
+    user_table_size = num_users + 1
     if shard:
         from seqrec_tpu.parallel.embedding import padded_vocab
         from seqrec_tpu.runtime.mesh import MODEL_AXIS
 
         table_size = padded_vocab(vocab_size, mesh.shape[MODEL_AXIS])
+        user_table_size = padded_vocab(num_users + 1, mesh.shape[MODEL_AXIS])
     return SeqRecModel(
         vocab_size=vocab_size,
         table_size=table_size,
+        num_users=num_users,
+        use_user_embedding=cfg.use_user_embedding,
+        user_table_size=user_table_size,
         arch=cfg.arch,
         embed_dim=cfg.embed_dim,
         hidden=cfg.hidden,

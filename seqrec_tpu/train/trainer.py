@@ -40,7 +40,8 @@ class Trainer:
         self.ds = ds if ds is not None else load_dataset(cfg.data)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.model_axis)
         self.model = build_model(
-            cfg.model, self.ds.vocab_size, mesh=self.mesh, mesh_cfg=cfg.mesh
+            cfg.model, self.ds.vocab_size, mesh=self.mesh, mesh_cfg=cfg.mesh,
+            num_users=self.ds.num_users,
         )
         self.optimizer = make_optimizer(cfg.train)
         self.schedule = make_schedule(cfg.train)
@@ -71,10 +72,13 @@ class Trainer:
         optimizer moments + output bias) over the model axis; replicate the
         rest (towers are small, SURVEY.md §2.2)."""
         shape = getattr(leaf, "shape", ())
+        shardable_rows = {self.model.table_size}
+        if self.model.use_user_embedding:
+            shardable_rows.add(self.model.user_table_size)
         if (
             self._needs_vocab_shard
             and len(shape) >= 1
-            and shape[0] == self.model.table_size
+            and shape[0] in shardable_rows
         ):
             return NamedSharding(
                 self.mesh, P(MODEL_AXIS, *([None] * (len(shape) - 1)))
@@ -210,6 +214,7 @@ class Trainer:
                 "inputs": np.zeros((self.local_batch, b), np.int32),
                 "targets": np.zeros((self.local_batch, b), np.int32),
                 "mask": np.zeros((self.local_batch, b), np.float32),
+                "users": np.zeros((self.local_batch,), np.int32),
             }
             self._train_step.lower(state, self.put_batch(dummy)).compile()
 
