@@ -50,11 +50,20 @@ def run_benchmark(
     jax.block_until_ready(metrics["loss"])
     warmup_s = time.perf_counter() - t_compile
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = tr._train_step(state, staged[i % len(staged)])
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # Two chain lengths; report the SLOPE. A single async chain's wall time
+    # includes a constant dispatch/round-trip latency (30+ ms through the
+    # axon relay) that would otherwise dominate sub-ms step times; the
+    # (2n - n) difference cancels it.
+    def chain(n, state):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = tr._train_step(state, staged[i % len(staged)])
+        jax.block_until_ready(metrics["loss"])
+        return time.perf_counter() - t0, state
+
+    t_short, state = chain(steps, state)
+    t_long, state = chain(2 * steps, state)
+    dt = max(t_long - t_short, 1e-9)
 
     n_dev = tr.num_devices
     eps = steps * tr.global_batch / dt
@@ -66,6 +75,8 @@ def run_benchmark(
         "step_time_ms": 1e3 * dt / steps,
         "examples_per_s": eps,
         "examples_per_s_per_chip": eps / n_dev,
+        "chain_short_s": t_short,
+        "chain_long_s": t_long,
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
     }

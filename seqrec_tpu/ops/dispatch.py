@@ -27,12 +27,19 @@ def pallas_supported() -> bool:
         return False
 
 
-def _use_pallas(flag: bool) -> bool:
-    return bool(flag) and pallas_supported()
+def _op_disabled(op: str) -> bool:
+    """Per-op kill switch for A/B attribution: SEQREC_DISABLE_PALLAS_OPS is a
+    comma list of {gather,gru,attn,head}."""
+    disabled = os.environ.get("SEQREC_DISABLE_PALLAS_OPS", "")
+    return op in {s.strip() for s in disabled.split(",") if s.strip()}
+
+
+def _use_pallas(flag: bool, op: str = "") -> bool:
+    return bool(flag) and pallas_supported() and not _op_disabled(op)
 
 
 def embedding_gather(table, ids, *, use_pallas: bool = True):
-    if _use_pallas(use_pallas):
+    if _use_pallas(use_pallas, "gather"):
         from seqrec_tpu.ops.pallas import gather as pl_gather
 
         if pl_gather.supported(table, ids):
@@ -42,7 +49,7 @@ def embedding_gather(table, ids, *, use_pallas: bool = True):
 
 def gru_scan(x, h0, w_x, w_h, b_x=None, b_h=None, *, reset_mask=None,
              use_pallas: bool = True):
-    if _use_pallas(use_pallas):
+    if _use_pallas(use_pallas, "gru"):
         from seqrec_tpu.ops.pallas import gru as pl_gru
 
         if pl_gru.supported(x, h0):
@@ -52,7 +59,7 @@ def gru_scan(x, h0, w_x, w_h, b_x=None, b_h=None, *, reset_mask=None,
 
 
 def causal_attention(q, k, v, *, scale=None, use_pallas: bool = True):
-    if _use_pallas(use_pallas):
+    if _use_pallas(use_pallas, "attn"):
         from seqrec_tpu.ops.pallas import attention as pl_attn
 
         if pl_attn.supported(q):
@@ -63,7 +70,7 @@ def causal_attention(q, k, v, *, scale=None, use_pallas: bool = True):
 def sampled_softmax_loss(h, pos_emb, neg_emb, targets, neg_ids, weights, *,
                          pos_log_q=None, neg_log_q=None,
                          use_pallas: bool = True):
-    if _use_pallas(use_pallas):
+    if _use_pallas(use_pallas, "head"):
         from seqrec_tpu.ops.pallas import softmax_head as pl_head
 
         if pl_head.supported(h, neg_emb):

@@ -46,6 +46,8 @@ def test_gradient_is_scatter_add():
 def test_supported_gate():
     table = jnp.zeros((10, 64))  # D=64 not lane-aligned
     assert not pl_gather.supported(table, jnp.zeros(16, jnp.int32))
-    table = jnp.zeros((10, 128))
+    table = jnp.zeros((10, 256))  # lane-aligned but narrow: XLA wins
+    assert not pl_gather.supported(table, jnp.zeros(16, jnp.int32))
+    table = jnp.zeros((10, 512))
     assert pl_gather.supported(table, jnp.zeros(16, jnp.int32))
     assert not pl_gather.supported(table, jnp.zeros(2, jnp.int32))
