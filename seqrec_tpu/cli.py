@@ -90,6 +90,38 @@ def cmd_prepare_data(args) -> int:
     return 0
 
 
+def cmd_recommend(args) -> int:
+    """Batch inference: JSON-lines histories in, top-k recommendations out."""
+    cfg = _load_cfg(args)
+    _init_runtime(args)
+    import sys as _sys
+
+    from seqrec_tpu.eval.infer import recommend
+    from seqrec_tpu.train.checkpoint import CheckpointManager, abstract_like
+    from seqrec_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    ckpt_dir = args.ckpt or f"{cfg.train.out_dir}/ckpt"
+    mgr = CheckpointManager(ckpt_dir)
+    state, _, _ = mgr.restore(abstract_like(state))
+
+    def read_histories():
+        src = open(args.input) if args.input else _sys.stdin
+        for line in src:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+    for out in recommend(
+        tr.model, state.params, read_histories(),
+        k=args.k, batch_size=args.batch_size, max_len=cfg.data.max_len,
+        mesh=tr.mesh, exclude_history=not args.allow_repeats,
+    ):
+        print(json.dumps(out))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     cfg = _load_cfg(args)
     _init_runtime(args)
@@ -119,6 +151,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--data_dir", default="data")
     p.add_argument("--config", default=None)
     p.set_defaults(fn=cmd_prepare_data)
+
+    p = sub.add_parser("recommend", help="top-k recommendations for histories")
+    _add_common(p)
+    p.add_argument("--ckpt", default=None, help="checkpoint dir")
+    p.add_argument("--input", default=None,
+                   help="JSONL file of {'user':..,'history':[..]} (default stdin)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--allow_repeats", action="store_true",
+                   help="do not exclude items already in the history")
+    p.set_defaults(fn=cmd_recommend)
 
     p = sub.add_parser("benchmark", help="measure examples/s/chip")
     _add_common(p)

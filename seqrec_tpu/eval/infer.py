@@ -1,0 +1,114 @@
+"""Batch inference (the reference `inference.py` role, SURVEY.md §1b/§3.2):
+score user histories and emit top-k next-item recommendations.
+
+Used by the `recommend` CLI subcommand: histories come in as JSON lines
+(`{"user": optional id, "history": [item ids...]}`), recommendations go out
+as JSON lines with the top-k item ids + scores. Batches are padded to a
+fixed shape so the scoring step compiles once; the sharded top-k path is
+used automatically when the catalog is row-sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Iterator, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seqrec_tpu.eval.metrics import mask_scores
+
+
+def _pack(
+    histories: Sequence[Sequence[int]],
+    users: Sequence[int],
+    batch_size: int,
+    max_len: int,
+):
+    B = batch_size
+    inputs = np.zeros((B, max_len), np.int32)
+    mask = np.zeros((B, max_len), np.float32)
+    u = np.zeros((B,), np.int32)
+    for r, h in enumerate(histories):
+        h = list(h)[-max_len:]
+        inputs[r, : len(h)] = h
+        mask[r, : len(h)] = 1.0
+        u[r] = users[r]
+    return inputs, mask, u
+
+
+def recommend(
+    model,
+    params,
+    histories: Iterable[Dict],
+    *,
+    k: int = 10,
+    batch_size: int = 64,
+    max_len: int = 200,
+    mesh=None,
+    exclude_history: bool = True,
+) -> Iterator[Dict]:
+    """Yield {"user", "items", "scores"} per input history dict (in order)."""
+    use_sharded = bool(
+        mesh is not None
+        and getattr(model, "shard_embeddings", False)
+        and mesh.shape.get("model", 1) > 1
+    )
+    # Over-fetch so host-side history exclusion cannot empty the list.
+    fetch_k = min(k + (max_len if exclude_history else 0),
+                  model.vocab_size - 1)
+
+    @jax.jit
+    def step(params, inputs, mask, users):
+        if use_sharded:
+            from seqrec_tpu.eval.sharded import sharded_topk
+
+            h_last = model.apply(params, inputs, mask, users=users,
+                                 method=model.last_hidden)
+            table = model.apply(params, method=model.output_table)
+            bias = model.apply(params, method=model.output_bias_value)
+            return sharded_topk(
+                table, h_last.astype(jnp.float32), fetch_k, mesh, bias=bias,
+                num_valid=model.vocab_size,
+            )
+        scores = model.apply(params, inputs, mask, users=users,
+                             method=model.scores)
+        scores = mask_scores(scores)
+        return jax.lax.top_k(scores, fetch_k)
+
+    pending: List[Dict] = []
+
+    def flush() -> Iterator[Dict]:
+        hs = [p.get("history", []) for p in pending]
+        us = [int(p.get("user", 0)) for p in pending]
+        while len(hs) < batch_size:
+            hs.append([])
+            us.append(0)
+        inputs, mask, u = _pack(hs, us, batch_size, max_len)
+        vals, ids = step(params, jnp.asarray(inputs), jnp.asarray(mask),
+                         jnp.asarray(u))
+        vals = np.asarray(jax.device_get(vals))
+        ids = np.asarray(jax.device_get(ids))
+        for r, p in enumerate(pending):
+            seen = (
+                {int(x) for x in p.get("history", [])}
+                if exclude_history else set()
+            )
+            items: List[int] = []
+            scores: List[float] = []
+            for i, v in zip(ids[r], vals[r]):
+                if int(i) in seen:
+                    continue
+                items.append(int(i))
+                scores.append(float(v))
+                if len(items) == k:
+                    break
+            yield {"user": p.get("user"), "items": items, "scores": scores}
+        pending.clear()
+
+    for rec in histories:
+        pending.append(rec)
+        if len(pending) == batch_size:
+            yield from flush()
+    if pending:
+        yield from flush()

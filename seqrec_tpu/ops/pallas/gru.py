@@ -2,21 +2,22 @@
 
 TPU-first layout (see ops/xla.py for the gate convention — identical math):
 
-- the input projections ``x @ W`` for all T steps are ONE big [B*T, 3H]
-  matmul done by XLA on the MXU before the kernel (compute-bound, already
-  optimal there);
-- the Pallas kernel owns the sequential part: grid=(T,), one step per grid
-  slot. TPU grid execution is sequential, so the hidden state lives in a
-  VMEM scratch buffer that persists across grid steps — h and the recurrent
-  weights U stay on-chip for the entire scan, no HBM round-trip per step
-  (the whole point vs. a lax.scan of separate ops);
-- per step: h @ U on the MXU ([B, H] x [H, 3H]) + VPU gate math, writing
-  the step's output block.
+- grid=(T,), one time step per grid slot. TPU grid execution is sequential,
+  so the hidden state lives in a VMEM scratch buffer that persists across
+  grid steps — h and BOTH weight matrices stay on-chip for the entire scan;
+- each step streams only the raw embeddings x[t] ([B, D]) and computes the
+  input projection x @ Wx on the MXU inside the kernel, fused with the
+  recurrent matmul h @ U and the VPU gate math. Versus projecting x outside
+  the kernel (the v1 design and what a lax.scan of dense ops does), this
+  removes the [B, T, 3H] x-projection intermediate from HBM entirely:
+  scan-path HBM traffic drops from ~(D + 6H + H) to ~(D + H) floats per
+  (batch, step) — ~4x for D == H;
+- outputs ys[t] ([B, H]) are the only per-step write.
 
 Backward: analytic BPTT over the saved per-step outputs (standard GRU
-gradient identities), expressed as a reverse lax.scan of dense XLA ops — the
-two matmuls per step dominate and land on the MXU; Pallas adds little there
-until the sizes grow, and the XLA version doubles as the grad oracle.
+gradient identities) as a reverse lax.scan of dense XLA ops; the input
+projection is recomputed in one big MXU matmul (cheap, parallel over T).
+The XLA version doubles as the grad oracle in tests/kernels.
 """
 
 from __future__ import annotations
@@ -34,16 +35,15 @@ from seqrec_tpu.ops import xla as xla_ops
 
 
 def supported(x: jax.Array, h0: jax.Array) -> bool:
-    """Kernel constraints: lane-aligned hidden dim, modest B*H VMEM use."""
+    """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
+    B, T, D = x.shape
     H = h0.shape[-1]
-    B = h0.shape[0]
-    # Sublane-aligned hidden dim (Mosaic pads the lane dim as needed); keep
-    # the VMEM footprint (h, per-step blocks, weights) well under budget.
-    vmem = 4 * (B * 3 * H + B * H * 2 + H * 3 * H)
-    return H % 8 == 0 and vmem < 8 * 1024 * 1024
+    vmem = 4 * (B * D + B * H * 2 + (D + H) * 3 * H + B * 3 * H)
+    return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
-def _gru_step_kernel(x_proj_ref, w_h_ref, b_h_ref, h0_ref, ys_ref, h_ref):
+def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
+                     ys_ref, h_ref):
     """One time step per grid slot; h_ref is persistent VMEM scratch."""
     t = pl.program_id(0)
 
@@ -52,14 +52,17 @@ def _gru_step_kernel(x_proj_ref, w_h_ref, b_h_ref, h0_ref, ys_ref, h_ref):
         h_ref[:] = h0_ref[:]
 
     h = h_ref[:]
-    h_proj = (
+    xp = (
+        jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
+        + b_x_ref[:]
+    )
+    hp = (
         jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
         + b_h_ref[:]
     )
-    xp = x_proj_ref[0]
     H = h.shape[-1]
     xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
-    hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
+    hr, hz, hn = hp[:, :H], hp[:, H:2 * H], hp[:, 2 * H:]
     r = jax.nn.sigmoid(xr + hr)
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
@@ -69,32 +72,37 @@ def _gru_step_kernel(x_proj_ref, w_h_ref, b_h_ref, h0_ref, ys_ref, h_ref):
 
 
 def _gru_forward_pallas(
-    x_proj: jax.Array,  # [B, T, 3H] fp32 (x @ W + b_x already applied)
+    x: jax.Array,  # [B, T, D]
     h0: jax.Array,  # [B, H]
+    w_x: jax.Array,  # [D, 3H]
     w_h: jax.Array,  # [H, 3H]
+    b_x: jax.Array,  # [3H]
     b_h: jax.Array,  # [3H]
     *,
     interpret: bool = False,
 ) -> jax.Array:  # ys [B, T, H]
-    B, T, H3 = x_proj.shape
+    B, T, D = x.shape
+    H3 = w_h.shape[-1]
     H = H3 // 3
-    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 3H] — time-major for the grid
+    xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
     ys = pl.pallas_call(
         _gru_step_kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, B, H3), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_h (as [1, 3H])
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_x [1, 3H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_h [1, 3H]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
         ],
         out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
-        scratch_shapes=[pltpu.VMEM((B, H), x_proj.dtype)],
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],
         interpret=interpret,
-    )(xs, w_h, b_h.reshape(1, H3), h0)
+    )(xs, w_x, w_h, b_x.reshape(1, H3), b_h.reshape(1, H3), h0)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
@@ -161,20 +169,27 @@ def _gru_bwd_math(
     return jnp.swapaxes(d_xp_t, 0, 1), dh0, dW, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gru_core(x_proj, h0, w_h, b_h, interpret):
-    return _gru_forward_pallas(x_proj, h0, w_h, b_h, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _gru_core(x, h0, w_x, w_h, b_x, b_h, interpret):
+    return _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h,
+                               interpret=interpret)
 
 
-def _gru_core_fwd(x_proj, h0, w_h, b_h, interpret):
-    ys = _gru_forward_pallas(x_proj, h0, w_h, b_h, interpret=interpret)
-    return ys, (x_proj, ys, h0, w_h, b_h)
+def _gru_core_fwd(x, h0, w_x, w_h, b_x, b_h, interpret):
+    ys = _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h, interpret=interpret)
+    return ys, (x, ys, h0, w_x, w_h, b_x, b_h)
 
 
 def _gru_core_bwd(interpret, res, g_ys):
-    x_proj, ys, h0, w_h, b_h = res
-    d_xp, dh0, dW, db = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys)
-    return d_xp, dh0, dW, db
+    x, ys, h0, w_x, w_h, b_x, b_h = res
+    dtype = x.dtype
+    # Recompute the input projection in one parallel-over-T MXU matmul.
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b_x
+    d_xp, dh0, dW_h, db_h = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys)
+    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
+    dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
+    db_x = jnp.sum(d_xp, axis=(0, 1)).astype(b_x.dtype)
+    return d_x, dh0, dW_x, dW_h, db_x, db_h
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
@@ -199,10 +214,9 @@ def gru_scan(
         return xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h,
                                 reset_mask=reset_mask)
     dtype = x.dtype
-    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype))
-    if b_x is not None:
-        x_proj = x_proj + b_x.astype(dtype)
-    b_h_c = (b_h if b_h is not None else jnp.zeros(w_h.shape[-1], dtype))
-    ys = _gru_core(x_proj, h0.astype(dtype), w_h.astype(dtype),
-                   b_h_c.astype(dtype), interpret)
+    H3 = w_h.shape[-1]
+    b_x_c = (b_x if b_x is not None else jnp.zeros(H3, dtype)).astype(dtype)
+    b_h_c = (b_h if b_h is not None else jnp.zeros(H3, dtype)).astype(dtype)
+    ys = _gru_core(x, h0.astype(dtype), w_x.astype(dtype),
+                   w_h.astype(dtype), b_x_c, b_h_c, interpret)
     return ys, ys[:, -1]
