@@ -42,6 +42,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Use Pallas TPU kernels for hot ops (False = pure-XLA fallbacks).
     use_pallas: bool = True
+    # Rematerialize transformer blocks in backward (jax.checkpoint): trades
+    # ~1/3 more FLOPs for O(layers) less activation memory — for long-T
+    # SASRec at large batch (SURVEY.md §5.7 long-context mechanism).
+    remat: bool = False
 
     @property
     def hidden(self) -> int:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from seqrec_tpu.config import DataConfig, EvalConfig
+from seqrec_tpu.config import EvalConfig
 from seqrec_tpu.data.batching import make_eval_batches, pad_batch_rows
 from seqrec_tpu.data.dataset import SequenceDataset
 from seqrec_tpu.eval.metrics import (
@@ -112,11 +112,14 @@ def evaluate(
         ranks = ranks_from_scores(scores, target_idx)
         return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
 
-    rng = np.random.default_rng(eval_cfg.seed)
+    # Each process evaluates its own user shard; sums are reduced across
+    # processes at the end so reported metrics are global (SURVEY.md §5.5).
+    host_shard = (jax.process_index(), jax.process_count())
+    rng = np.random.default_rng(eval_cfg.seed + 7919 * host_shard[0])
     sums: Optional[Dict[str, np.ndarray]] = None
     for batch in make_eval_batches(
         ds, split=split, batch_size=B, max_len=max_len,
-        max_batches=eval_cfg.max_batches,
+        max_batches=eval_cfg.max_batches, host_shard=host_shard,
     ):
         batch = pad_batch_rows(batch, B)
         if eval_cfg.protocol == "sampled":
@@ -145,5 +148,22 @@ def evaluate(
             for k, v in out.items():
                 sums[k] += np.asarray(v, dtype=np.float64)
     if sums is None:
+        sums = {}
+    if jax.process_count() > 1:
+        sums = _allreduce_sums(sums, eval_cfg.ks)
+    if not sums:
         return {"count": 0.0}
     return finalize_metrics(sums)
+
+
+def _allreduce_sums(sums: Dict[str, np.ndarray], ks) -> Dict[str, np.ndarray]:
+    """Sum per-process metric sums across hosts (order-stable key set)."""
+    from jax.experimental import multihost_utils
+
+    keys = ["count"] + [
+        f"{m}@{k}" for k in ks for m in ("recall", "mrr", "ndcg")
+    ]
+    local = np.asarray([float(sums.get(k, 0.0)) for k in keys], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    total = gathered.sum(axis=0)
+    return {k: total[i] for i, k in enumerate(keys)}

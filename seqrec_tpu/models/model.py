@@ -52,6 +52,7 @@ class SeqRecModel(nn.Module):
     tie_embeddings: bool = True
     output_bias: bool = True
     use_pallas: bool = True
+    remat: bool = False
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
     # Sharded-embedding engine (L2). When `mesh` is set and shard_embeddings
@@ -115,6 +116,7 @@ class SeqRecModel(nn.Module):
                 max_len=self.max_len,
                 dropout_rate=self.dropout_rate,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 param_dtype=self.param_dtype,
             )
         else:
@@ -283,6 +285,7 @@ def build_model(
         tie_embeddings=cfg.tie_embeddings,
         output_bias=cfg.loss == "full_softmax",
         use_pallas=cfg.use_pallas,
+        remat=cfg.remat,
         param_dtype=jnp.dtype(cfg.param_dtype),
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         mesh=mesh,

@@ -10,8 +10,6 @@ kernel (Pallas) or a tight XLA loop, not module soup.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -77,7 +75,8 @@ class SASRecBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # `deterministic` is positional so nn.remat can mark it static.
         B, T, H = x.shape
         Dh = self.hidden // self.num_heads
         y = nn.LayerNorm(dtype=x.dtype, param_dtype=self.param_dtype)(x)
@@ -122,6 +121,7 @@ class SASRecTower(nn.Module):
     max_len: int
     dropout_rate: float = 0.1
     use_pallas: bool = True
+    remat: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,14 +138,24 @@ class SASRecTower(nn.Module):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         # Zero pad positions so they contribute nothing downstream.
         x = x * mask[:, :, None].astype(x.dtype)
-        for _ in range(self.num_layers):
-            x = SASRecBlock(
+        # Rematerialized blocks recompute activations in backward instead of
+        # saving them — the long-context memory lever (SURVEY.md §5.7).
+        block_cls = (
+            nn.remat(SASRecBlock, static_argnums=(2,))
+            if self.remat else SASRecBlock
+        )
+        for i in range(self.num_layers):
+            # Explicit names keep the param tree identical with remat on or
+            # off (nn.remat would otherwise rename the auto-scope and break
+            # checkpoint compatibility across the toggle).
+            x = block_cls(
                 hidden=self.hidden,
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
                 dropout_rate=self.dropout_rate,
                 use_pallas=self.use_pallas,
                 param_dtype=self.param_dtype,
-            )(x, deterministic=deterministic)
+                name=f"block{i}",
+            )(x, deterministic)
             x = x * mask[:, :, None].astype(x.dtype)
         return nn.LayerNorm(dtype=x.dtype, param_dtype=self.param_dtype)(x)

@@ -28,7 +28,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from seqrec_tpu.ops import xla as xla_ops
 
 BQ = 128  # query block rows
 BK = 128  # key block rows

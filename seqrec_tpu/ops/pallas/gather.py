@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from seqrec_tpu.ops import xla as xla_ops
 
 ROWS_PER_STEP = 8
 

@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
