@@ -24,6 +24,11 @@ class ModelConfig:
     embed_dim: int = 64
     hidden_dim: Optional[int] = None
     num_layers: int = 1
+    # Recurrent-tower cell: "gru" (GRU4Rec proper) | "lstm" (the reference's
+    # NMT-lineage `unit_type=lstm`). Ignored by the sasrec arch.
+    cell_type: str = "gru"
+    # Residual connections between stacked RNN layers (when widths match).
+    residual: bool = False
     # SASRec-specific.
     num_heads: int = 1
     mlp_dim: Optional[int] = None  # defaults to 4*embed_dim

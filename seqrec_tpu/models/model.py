@@ -23,7 +23,7 @@ from jax.sharding import Mesh
 
 from seqrec_tpu import ops
 from seqrec_tpu.config import MeshConfig, ModelConfig
-from seqrec_tpu.models.towers import GRUTower, SASRecTower
+from seqrec_tpu.models.towers import RNNTower, SASRecTower
 from seqrec_tpu.ops import xla as xla_ops
 
 PAD_ID = 0
@@ -44,6 +44,8 @@ class SeqRecModel(nn.Module):
     embed_dim: int = 64
     hidden: int = 64
     num_layers: int = 1
+    cell_type: str = "gru"
+    residual: bool = False
     num_heads: int = 1
     mlp_dim: int = 256
     max_len: int = 200
@@ -100,10 +102,12 @@ class SeqRecModel(nn.Module):
                 self.param_dtype,
             )
         if self.arch == "gru4rec":
-            self.tower = GRUTower(
+            self.tower = RNNTower(
                 hidden=self.hidden,
                 num_layers=self.num_layers,
                 dropout_rate=self.dropout_rate,
+                cell=self.cell_type,
+                residual=self.residual,
                 use_pallas=self.use_pallas,
                 param_dtype=self.param_dtype,
             )
@@ -277,6 +281,8 @@ def build_model(
         embed_dim=cfg.embed_dim,
         hidden=cfg.hidden,
         num_layers=cfg.num_layers,
+        cell_type=cfg.cell_type,
+        residual=cfg.residual,
         num_heads=cfg.num_heads,
         mlp_dim=cfg.mlp_dim if cfg.mlp_dim is not None else 4 * cfg.embed_dim,
         max_len=cfg.max_len,

@@ -17,51 +17,86 @@ import jax.numpy as jnp
 from seqrec_tpu import ops
 
 
-class GRUTower(nn.Module):
-    """Stacked GRU encoder (GRU4Rec; Hidasi et al., ICLR'16 lineage).
+def _lstm_bias_init(key, shape, dtype):
+    """Forget-gate bias +1 (i|f|g|o block order): the standard LSTM init that
+    keeps the cell remembering early in training (Jozefowicz et al. 2015)."""
+    b = jnp.zeros(shape, dtype)
+    H = shape[0] // 4
+    return b.at[H:2 * H].set(1.0)
 
-    num_layers GRU layers with optional inter-layer dropout; hidden size
-    `hidden` per layer. Initial state is zeros (sessions start fresh each
-    batch row — batch layout is one session/user-sequence per row).
+
+class RNNTower(nn.Module):
+    """Stacked recurrent encoder (GRU4Rec; Hidasi et al., ICLR'16 lineage).
+
+    `cell` selects the recurrence: "gru" (default; GRU4Rec proper) or "lstm"
+    (the reference's NMT-lineage `unit_type=lstm` hparam). num_layers cells
+    with optional inter-layer dropout; hidden size `hidden` per layer.
+    Initial state is zeros (sessions start fresh each batch row — batch
+    layout is one session/user-sequence per row). `residual` adds the layer
+    input back to its output when widths match (NMT-lineage `residual`
+    hparam for deep stacks).
     """
 
     hidden: int
     num_layers: int = 1
     dropout_rate: float = 0.0
+    cell: str = "gru"
+    residual: bool = False
     use_pallas: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if self.cell not in ("gru", "lstm"):
+            raise ValueError(f"unknown rnn cell {self.cell!r}")
         B, T, _ = x.shape
+        gates = 3 if self.cell == "gru" else 4
         h = x
         for layer in range(self.num_layers):
             d_in = h.shape[-1]
             w_x = self.param(
-                f"gru{layer}_wx",
+                f"{self.cell}{layer}_wx",
                 nn.initializers.glorot_uniform(),
-                (d_in, 3 * self.hidden),
+                (d_in, gates * self.hidden),
                 self.param_dtype,
             )
             w_h = self.param(
-                f"gru{layer}_wh",
+                f"{self.cell}{layer}_wh",
                 nn.initializers.orthogonal(column_axis=-1),
-                (self.hidden, 3 * self.hidden),
+                (self.hidden, gates * self.hidden),
                 self.param_dtype,
             )
-            b_x = self.param(
-                f"gru{layer}_bx", nn.initializers.zeros, (3 * self.hidden,), self.param_dtype
-            )
-            b_h = self.param(
-                f"gru{layer}_bh", nn.initializers.zeros, (3 * self.hidden,), self.param_dtype
-            )
             h0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
-            h, _ = ops.gru_scan(
-                h, h0, w_x, w_h, b_x, b_h, use_pallas=self.use_pallas
-            )
+            if self.cell == "gru":
+                b_x = self.param(
+                    f"gru{layer}_bx", nn.initializers.zeros,
+                    (gates * self.hidden,), self.param_dtype
+                )
+                b_h = self.param(
+                    f"gru{layer}_bh", nn.initializers.zeros,
+                    (gates * self.hidden,), self.param_dtype
+                )
+                y, _ = ops.gru_scan(
+                    h, h0, w_x, w_h, b_x, b_h, use_pallas=self.use_pallas
+                )
+            else:
+                b = self.param(
+                    f"lstm{layer}_b", _lstm_bias_init,
+                    (gates * self.hidden,), self.param_dtype
+                )
+                c0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
+                y, _ = ops.lstm_scan(
+                    h, h0, c0, w_x, w_h, b, use_pallas=self.use_pallas
+                )
+            h = y + h if (self.residual and d_in == self.hidden) else y
             if self.dropout_rate > 0.0 and layer < self.num_layers - 1:
                 h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return h
+
+
+# Historical name (pre cell-type support); param tree for cell="gru" is
+# unchanged, so existing checkpoints load as-is.
+GRUTower = RNNTower
 
 
 class SASRecBlock(nn.Module):

@@ -14,6 +14,7 @@ from seqrec_tpu.ops.dispatch import (  # noqa: F401
     causal_attention,
     embedding_gather,
     gru_scan,
+    lstm_scan,
     pallas_supported,
     sampled_softmax_loss,
 )

@@ -29,7 +29,7 @@ def pallas_supported() -> bool:
 
 def _op_disabled(op: str) -> bool:
     """Per-op kill switch for A/B attribution: SEQREC_DISABLE_PALLAS_OPS is a
-    comma list of {gather,gru,attn,head}."""
+    comma list of {gather,gru,lstm,attn,head}."""
     disabled = os.environ.get("SEQREC_DISABLE_PALLAS_OPS", "")
     return op in {s.strip() for s in disabled.split(",") if s.strip()}
 
@@ -56,6 +56,17 @@ def gru_scan(x, h0, w_x, w_h, b_x=None, b_h=None, *, reset_mask=None,
             return pl_gru.gru_scan(x, h0, w_x, w_h, b_x, b_h,
                                    reset_mask=reset_mask)
     return xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h, reset_mask=reset_mask)
+
+
+def lstm_scan(x, h0, c0, w_x, w_h, b=None, *, reset_mask=None,
+              use_pallas: bool = True):
+    if _use_pallas(use_pallas, "lstm"):
+        from seqrec_tpu.ops.pallas import lstm as pl_lstm
+
+        if pl_lstm.supported(x, h0):
+            return pl_lstm.lstm_scan(x, h0, c0, w_x, w_h, b,
+                                     reset_mask=reset_mask)
+    return xla_ops.lstm_scan(x, h0, c0, w_x, w_h, b, reset_mask=reset_mask)
 
 
 def causal_attention(q, k, v, *, scale=None, use_pallas: bool = True):

@@ -1,6 +1,6 @@
 """Pallas embedding-gather kernel (SURVEY.md §2 #4; TF `GatherV2` analog).
 
-Design: the table stays in HBM (`pltpu.ANY`); ids are scalar-prefetched so
+Design: the table stays in HBM (`pl.ANY`); ids are scalar-prefetched so
 they are readable before the kernel body runs. Each grid step issues
 `ROWS_PER_STEP` independent row DMAs HBM→VMEM (one per gathered id) and
 waits on them together — the DMAs overlap each other within the step, and
@@ -67,7 +67,7 @@ def _gather_pallas(table: jax.Array, flat_ids: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table in HBM
         out_specs=pl.BlockSpec(
             (ROWS_PER_STEP, 1, D), lambda i, ids: (i, 0, 0),
             memory_space=pltpu.VMEM,

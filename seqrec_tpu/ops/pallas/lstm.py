@@ -1,0 +1,272 @@
+"""Fused Pallas LSTM scan (reference NMT-lineage `unit_type=lstm`; TF
+`LSTMBlockCell` / cuDNN-LSTM analog).
+
+Identical TPU-first layout to the fused GRU (ops/pallas/gru.py):
+
+- grid=(T,), one time step per grid slot; TPU grid execution is sequential,
+  so h AND c live in VMEM scratch buffers persistent across grid steps —
+  both states and both weight matrices stay on-chip for the whole scan;
+- each step streams only x[t] ([B, D]) in and h[t] ([B, H]) out; the input
+  projection x @ Wx runs on the MXU inside the kernel, fused with the
+  recurrent matmul h @ U and the VPU gate math, so the [B, T, 4H] projection
+  intermediate never touches HBM;
+- gate block order i|f|g|o, matching ops/xla.py::lstm_gates (the oracle).
+
+Backward: analytic BPTT (standard LSTM gradient identities) as a reverse
+lax.scan of dense XLA ops over the saved per-step h outputs; cell states are
+recomputed forward in one cheap scan (they are not saved by the kernel),
+and the input projection is recomputed as one parallel-over-T MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seqrec_tpu.ops import xla as xla_ops
+
+
+def supported(x: jax.Array, h0: jax.Array) -> bool:
+    """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
+    B, T, D = x.shape
+    H = h0.shape[-1]
+    vmem = 4 * (B * D + B * H * 3 + (D + H) * 4 * H + B * 4 * H)
+    return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
+
+
+def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
+                      ys_ref, h_ref, c_ref):
+    """One time step per grid slot; h_ref/c_ref are persistent VMEM scratch."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = h0_ref[:]
+        # c scratch accumulates in float32 regardless of the compute dtype.
+        c_ref[:] = c0_ref[:].astype(c_ref.dtype)
+
+    h = h_ref[:]
+    c = c_ref[:]
+    z = (
+        jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(z[:, :H])
+    f = jax.nn.sigmoid(z[:, H:2 * H])
+    g = jnp.tanh(z[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H:])
+    c_next = f * c + i * g
+    h_next = (o * jnp.tanh(c_next)).astype(h_ref.dtype)
+    c_ref[:] = c_next.astype(c_ref.dtype)
+    h_ref[:] = h_next
+    ys_ref[0] = h_next
+
+
+def _lstm_forward_pallas(
+    x: jax.Array,  # [B, T, D]
+    h0: jax.Array,  # [B, H]
+    c0: jax.Array,  # [B, H]
+    w_x: jax.Array,  # [D, 4H]
+    w_h: jax.Array,  # [H, 4H]
+    b: jax.Array,  # [4H]
+    *,
+    interpret: bool = False,
+) -> jax.Array:  # ys [B, T, H]
+    B, T, D = x.shape
+    H4 = w_h.shape[-1]
+    H = H4 // 4
+    xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
+    ys = pl.pallas_call(
+        _lstm_step_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b [1, 4H]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c0
+        ],
+        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, H), x.dtype),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(xs, w_x, w_h, b.reshape(1, H4), h0, c0)
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def _recompute_cells(
+    x_proj: jax.Array,  # [B, T, 4H]
+    hs: jax.Array,  # [B, T, H] saved h outputs
+    h0: jax.Array,  # [B, H]
+    c0: jax.Array,  # [B, H]
+    w_h: jax.Array,  # [H, 4H]
+) -> jax.Array:  # cs [B, T, H] (c_1..c_T), float32
+    """Forward-recompute cell states from saved h's: with h_prev known at
+    every step, c_t = f_t * c_{t-1} + i_t * g_t needs no sequential matmul —
+    the h @ U projections for ALL steps batch into one MXU matmul."""
+    H = h0.shape[-1]
+    h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
+    z = x_proj + jnp.einsum("bth,hk->btk", h_prev_all, w_h)
+    i = jax.nn.sigmoid(z[..., :H]).astype(jnp.float32)
+    f = jax.nn.sigmoid(z[..., H:2 * H]).astype(jnp.float32)
+    g = jnp.tanh(z[..., 2 * H:3 * H]).astype(jnp.float32)
+
+    def step(c, inp):
+        i_t, f_t, g_t = inp
+        c_next = f_t * c + i_t * g_t
+        return c_next, c_next
+
+    _, cs = lax.scan(
+        step,
+        c0.astype(jnp.float32),
+        (jnp.swapaxes(i, 0, 1), jnp.swapaxes(f, 0, 1), jnp.swapaxes(g, 0, 1)),
+    )
+    return jnp.swapaxes(cs, 0, 1)
+
+
+def _lstm_bwd_math(
+    x_proj: jax.Array,  # [B, T, 4H]
+    hs: jax.Array,  # [B, T, H] outputs h_1..h_T
+    cs: jax.Array,  # [B, T, H] cells c_1..c_T (float32)
+    h0: jax.Array,  # [B, H]
+    c0: jax.Array,  # [B, H]
+    w_h: jax.Array,  # [H, 4H]
+    g_ys: jax.Array,  # [B, T, H] cotangent of outputs
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Analytic LSTM BPTT (reverse scan).
+
+    Returns (d_x_proj, d_h0, d_c0, d_w_h, d_b)."""
+    H = h0.shape[-1]
+    dtype = x_proj.dtype
+
+    h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
+    c_prev_all = jnp.concatenate(
+        [c0.astype(jnp.float32)[:, None], cs[:, :-1]], axis=1
+    )
+
+    def step(carry, inp):
+        dh_next, dc_next, dW, db = carry
+        xp, h_prev, c_prev, c_out, g_y = inp
+        dh = dh_next + g_y.astype(jnp.float32)
+        # Recompute gates (1 matmul + VPU math per step).
+        z = xp + jnp.dot(h_prev, w_h, preferred_element_type=dtype)
+        i = jax.nn.sigmoid(z[:, :H]).astype(jnp.float32)
+        f = jax.nn.sigmoid(z[:, H:2 * H]).astype(jnp.float32)
+        g = jnp.tanh(z[:, 2 * H:3 * H]).astype(jnp.float32)
+        o = jax.nn.sigmoid(z[:, 3 * H:]).astype(jnp.float32)
+        tanh_c = jnp.tanh(c_out)
+        do = dh * tanh_c
+        dc = dc_next + dh * o * (1.0 - tanh_c * tanh_c)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dzi = di * i * (1.0 - i)
+        dzf = df * f * (1.0 - f)
+        dzg = dg * (1.0 - g * g)
+        dzo = do * o * (1.0 - o)
+        dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=-1).astype(dtype)
+        dh_prev = jnp.dot(dz, w_h.T, preferred_element_type=dtype).astype(
+            jnp.float32
+        )
+        dc_prev = dc * f
+        dW = dW + jnp.dot(h_prev.T, dz, preferred_element_type=dtype)
+        db = db + jnp.sum(dz, axis=0)
+        return (dh_prev, dc_prev, dW, db), dz
+
+    inps = (
+        jnp.swapaxes(x_proj, 0, 1),
+        jnp.swapaxes(h_prev_all, 0, 1),
+        jnp.swapaxes(c_prev_all, 0, 1),
+        jnp.swapaxes(cs, 0, 1),
+        jnp.swapaxes(g_ys, 0, 1),
+    )
+    init = (
+        jnp.zeros(h0.shape, jnp.float32),
+        jnp.zeros(h0.shape, jnp.float32),
+        jnp.zeros_like(w_h),
+        jnp.zeros(w_h.shape[-1], dtype),
+    )
+    (dh0, dc0, dW, db), dz_t = lax.scan(step, init, inps, reverse=True)
+    return (
+        jnp.swapaxes(dz_t, 0, 1),
+        dh0.astype(h0.dtype),
+        dc0.astype(c0.dtype),
+        dW,
+        db,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _lstm_core(x, h0, c0, w_x, w_h, b, interpret):
+    return _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, interpret=interpret)
+
+
+def _lstm_core_fwd(x, h0, c0, w_x, w_h, b, interpret):
+    ys = _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, interpret=interpret)
+    return ys, (x, ys, h0, c0, w_x, w_h, b)
+
+
+def _lstm_core_bwd(interpret, res, g_ys):
+    x, ys, h0, c0, w_x, w_h, b = res
+    dtype = x.dtype
+    # Recompute the input projection in one parallel-over-T MXU matmul.
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b
+    cs = _recompute_cells(x_proj, ys, h0, c0, w_h)
+    d_xp, dh0, dc0, dW_h, db = _lstm_bwd_math(
+        x_proj, ys, cs, h0, c0, w_h, g_ys
+    )
+    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
+    dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
+    db_out = jnp.sum(d_xp, axis=(0, 1)).astype(b.dtype)
+    return d_x, dh0, dc0, dW_x, dW_h.astype(w_h.dtype), db_out
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+def lstm_scan(
+    x: jax.Array,  # [B, T, D_in]
+    h0: jax.Array,  # [B, H]
+    c0: jax.Array,  # [B, H]
+    w_x: jax.Array,  # [D_in, 4H]
+    w_h: jax.Array,  # [H, 4H]
+    b: Optional[jax.Array] = None,
+    *,
+    reset_mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Drop-in fused version of ops.xla.lstm_scan (same signature/semantics).
+
+    reset_mask is not supported by the fused kernel (dispatch falls back).
+    The final cell state is recomputed from the last step's tensors (the
+    kernel saves only h's); callers that need c_last pay one extra step of
+    recompute, which is negligible.
+    """
+    if reset_mask is not None:
+        return xla_ops.lstm_scan(x, h0, c0, w_x, w_h, b,
+                                 reset_mask=reset_mask)
+    dtype = x.dtype
+    H4 = w_h.shape[-1]
+    b_c = (b if b is not None else jnp.zeros(H4, dtype)).astype(dtype)
+    ys = _lstm_core(x, h0.astype(dtype), c0.astype(dtype),
+                    w_x.astype(dtype), w_h.astype(dtype), b_c, interpret)
+    # c_last via the batched recompute (stop_gradient: it re-derives from ys).
+    x_proj = jnp.einsum("btd,dh->bth", lax.stop_gradient(x),
+                        lax.stop_gradient(w_x).astype(dtype)) + b_c
+    cs = _recompute_cells(
+        x_proj, lax.stop_gradient(ys), lax.stop_gradient(h0),
+        lax.stop_gradient(c0), lax.stop_gradient(w_h).astype(dtype)
+    )
+    return ys, (ys[:, -1], cs[:, -1].astype(dtype))

@@ -104,6 +104,79 @@ def gru_scan(
 
 
 # ---------------------------------------------------------------------------
+# LSTM (TF-C++ LSTMBlockCell analog; reference NMT-lineage `unit_type=lstm`)
+# ---------------------------------------------------------------------------
+#
+# Same TPU-first layout as the GRU: all input projections x @ W_{i,f,g,o} are
+# one big [B*T, 4H] MXU matmul up front; the sequential scan carries only the
+# recurrent matmul h @ U_{i,f,g,o} plus VPU gate math. Gate block order is
+# i|f|g|o (cuDNN/LSTMBlockCell convention). No peepholes; forget-gate bias
+# offsets belong in the initializer, not the op.
+
+
+def lstm_gates(
+    x_proj: jax.Array,  # [..., 4H] = x @ W + b (i|f|g|o blocks)
+    h_proj: jax.Array,  # [..., 4H] = h @ U (i|f|g|o blocks)
+    c_prev: jax.Array,  # [..., H]
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused LSTM gate math given precomputed projections.
+
+    Returns (h_next, c_next)."""
+    zi, zf, zg, zo = jnp.split(x_proj + h_proj, 4, axis=-1)
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    g = jnp.tanh(zg)
+    o = jax.nn.sigmoid(zo)
+    c_next = f * c_prev + i * g
+    h_next = o * jnp.tanh(c_next)
+    return h_next, c_next
+
+
+def lstm_scan(
+    x: jax.Array,  # [B, T, D_in]
+    h0: jax.Array,  # [B, H]
+    c0: jax.Array,  # [B, H]
+    w_x: jax.Array,  # [D_in, 4H]
+    w_h: jax.Array,  # [H, 4H]
+    b: Optional[jax.Array] = None,  # [4H]
+    *,
+    reset_mask: Optional[jax.Array] = None,  # [B, T] 1.0 = reset BEFORE step t
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Run an LSTM over time.
+
+    Returns (outputs [B, T, H], (h_last, c_last)). `reset_mask` zeroes both
+    states before consuming step t (session-parallel batching), mirroring
+    gru_scan.
+    """
+    dtype = x.dtype
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype))
+    if b is not None:
+        x_proj = x_proj + b.astype(dtype)
+    w_h_c = w_h.astype(dtype)
+
+    def step(carry, inputs):
+        h, c = carry
+        if reset_mask is None:
+            xp = inputs
+        else:
+            xp, rm = inputs
+            keep = (1.0 - rm)[:, None]
+            h = h * keep
+            c = c * keep
+        h_proj = jnp.dot(h, w_h_c, preferred_element_type=dtype)
+        h_next, c_next = lstm_gates(xp, h_proj, c)
+        return (h_next, c_next), h_next
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+    if reset_mask is not None:
+        xs = (xs, jnp.swapaxes(reset_mask.astype(dtype), 0, 1))
+    (h_last, c_last), ys = lax.scan(
+        step, (h0.astype(dtype), c0.astype(dtype)), xs
+    )
+    return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+
+
+# ---------------------------------------------------------------------------
 # Causal self-attention (SASRec tower; SURVEY.md §2 #6)
 # ---------------------------------------------------------------------------
 

@@ -11,9 +11,15 @@ from seqrec_tpu.config import ModelConfig
 from seqrec_tpu.models import build_model
 
 
+ARCHS = ["gru4rec", "lstm", "sasrec"]  # "lstm" = gru4rec arch, lstm cell
+
+
 def _make(arch, vocab=50, **kw):
-    cfg = ModelConfig(arch=arch, embed_dim=32, num_layers=2, max_len=16,
-                      compute_dtype="float32", use_pallas=False, **kw)
+    if arch == "lstm":
+        arch, kw["cell_type"] = "gru4rec", "lstm"
+    kw = {"embed_dim": 32, "num_layers": 2, "max_len": 16,
+          "compute_dtype": "float32", "use_pallas": False, **kw}
+    cfg = ModelConfig(arch=arch, **kw)
     return build_model(cfg, vocab)
 
 
@@ -28,7 +34,7 @@ def _batch(rng, B=4, T=16, vocab=50):
             "mask": jnp.asarray(mask)}
 
 
-@pytest.mark.parametrize("arch", ["gru4rec", "sasrec"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_encode_shapes(arch, rng):
     model = _make(arch)
     batch = _batch(rng)
@@ -38,7 +44,7 @@ def test_encode_shapes(arch, rng):
     assert jnp.isfinite(h).all()
 
 
-@pytest.mark.parametrize("arch", ["gru4rec", "sasrec"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_causal_no_future_leak(arch, rng):
     """Changing items at positions > t must not change h[:, t]."""
     model = _make(arch)
@@ -83,7 +89,7 @@ def test_masked_positions_do_not_affect_loss(rng):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
 
 
-@pytest.mark.parametrize("arch", ["gru4rec", "sasrec"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_overfits_tiny_data(arch, rng):
     """10 fixed sequences: loss must drop by >30% in 60 steps."""
     vocab = 30
@@ -113,6 +119,29 @@ def test_overfits_tiny_data(arch, rng):
         if first is None:
             first = float(loss)
     assert float(loss) < 0.7 * first
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_residual_stack(cell, rng):
+    """Residual RNN stack: same param tree shape, output differs from
+    non-residual, and deep-stack grads stay finite."""
+    model_r = _make("gru4rec", cell_type=cell, residual=True, num_layers=3)
+    model_p = _make("gru4rec", cell_type=cell, residual=False, num_layers=3)
+    batch = _batch(rng)
+    params = model_r.init(jax.random.key(0), batch["inputs"], batch["mask"])
+    h_r = model_r.apply(params, batch["inputs"], batch["mask"])
+    h_p = model_p.apply(params, batch["inputs"], batch["mask"])
+    assert h_r.shape == h_p.shape
+    assert not np.allclose(np.asarray(h_r), np.asarray(h_p))
+
+    def loss_fn(p):
+        s, w = model_r.apply(p, batch, method=model_r.loss, deterministic=True)
+        return s / w
+
+    grads = jax.grad(loss_fn)(params)
+    assert all(
+        bool(jnp.isfinite(g).all()) for g in jax.tree_util.tree_leaves(grads)
+    )
 
 
 def test_scores_shapes(rng):
