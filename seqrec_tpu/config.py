@@ -34,7 +34,8 @@ class ModelConfig:
     mlp_dim: Optional[int] = None  # defaults to 4*embed_dim
     max_len: int = 200
     dropout_rate: float = 0.1
-    # Loss head: "full_softmax" | "sampled_softmax" | "bpr".
+    # Loss head: "full_softmax" | "sampled_softmax" | "bpr" | "top1"
+    # (Hidasi et al. ICLR'16) | "bpr_max" (Hidasi & Karatzoglou CIKM'18).
     loss: str = "full_softmax"
     num_negatives: int = 100
     # Share the input embedding table with the output projection.
@@ -61,7 +62,7 @@ class ModelConfig:
 class DataConfig:
     """Dataset + batching hyperparameters."""
 
-    # "ml-100k" | "ml-1m" | "beauty" | "steam" | "synthetic".
+    # "ml-100k" | "ml-1m" | "beauty" | "steam" | "rsc15" | "synthetic".
     dataset: str = "ml-100k"
     data_dir: str = "data"
     # Per-device batch size (global batch = batch_size * num_devices).

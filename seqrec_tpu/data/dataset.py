@@ -293,11 +293,38 @@ def _parse_steam(path: str) -> SequenceDataset:
     )
 
 
+def _parse_rsc15(path: str) -> SequenceDataset:
+    """RecSys Challenge 2015 / yoochoose `yoochoose-clicks.dat`:
+    session_id,ISO-timestamp,item_id,category. Sessions are the sequences
+    (session-based recommendation, the GRU4Rec paper's dataset). Standard
+    preprocessing: drop items clicked < 5 times, then sessions shorter
+    than 2 (item filter first, NOT iterative session/item k-core)."""
+    sessions, items, ts = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 3:
+                continue
+            sessions.append(int(parts[0]))
+            # ISO8601 lexicographic order == chronological; keep the string.
+            ts.append(parts[1])
+            items.append(int(parts[2]))
+    items_arr = np.asarray(items)
+    vals, counts = np.unique(items_arr, return_counts=True)
+    keep_items = set(vals[counts >= 5].tolist())
+    keep = np.array([it in keep_items for it in items], dtype=bool)
+    return from_interactions(
+        np.asarray(sessions)[keep], items_arr[keep], np.asarray(ts)[keep],
+        min_seq_len=2, name="rsc15",
+    )
+
+
 _RAW_FILES = {
     "ml-100k": ("u.data", _parse_ml100k),
     "ml-1m": ("ratings.dat", _parse_ml1m),
     "beauty": ("ratings_Beauty.csv", lambda p: _parse_amazon_csv(p, "beauty")),
     "steam": ("steam_reviews.json", _parse_steam),
+    "rsc15": ("yoochoose-clicks.dat", _parse_rsc15),
 }
 
 

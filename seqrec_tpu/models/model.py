@@ -28,6 +28,11 @@ from seqrec_tpu.ops import xla as xla_ops
 
 PAD_ID = 0
 
+# Losses that train against a shared sampled-negative set (vs. full_softmax's
+# whole-catalog matmul). top1 and bpr_max are the GRU4Rec-lineage ranking
+# losses (Hidasi et al. ICLR'16; Hidasi & Karatzoglou CIKM'18).
+SAMPLED_LOSSES = ("sampled_softmax", "bpr", "top1", "bpr_max")
+
 
 class SeqRecModel(nn.Module):
     vocab_size: int  # includes pad id 0
@@ -186,7 +191,7 @@ class SeqRecModel(nn.Module):
                 h2, out_table.astype(self.compute_dtype), t2, w2, bias=self._bias(),
                 num_valid=self.vocab_size if self._rows > self.vocab_size else None,
             )
-        if self.loss_type in ("sampled_softmax", "bpr"):
+        if self.loss_type in SAMPLED_LOSSES:
             if neg_ids is None:
                 raise ValueError(f"{self.loss_type} needs neg_ids")
             pos_emb = self._lookup(out_table, t2)
@@ -204,7 +209,12 @@ class SeqRecModel(nn.Module):
                     pos_log_q=pos_log_q, neg_log_q=neg_log_q,
                     use_pallas=self.use_pallas,
                 )
-            return xla_ops.bpr_loss(h2, pos_emb, neg_emb, t2, neg_ids, w2)
+            fn = {
+                "bpr": xla_ops.bpr_loss,
+                "top1": xla_ops.top1_loss,
+                "bpr_max": xla_ops.bpr_max_loss,
+            }[self.loss_type]
+            return fn(h2, pos_emb, neg_emb, t2, neg_ids, w2)
         raise ValueError(f"unknown loss {self.loss_type!r}")
 
     def last_hidden(self, inputs: jax.Array, mask: jax.Array,

@@ -273,6 +273,62 @@ def sampled_softmax_loss(
     return jnp.sum(jnp.where(w > 0, nll, 0.0) * w), jnp.sum(w)
 
 
+def top1_loss(
+    h: jax.Array,  # [N, H]
+    pos_emb: jax.Array,  # [N, H]
+    neg_emb: jax.Array,  # [S, H]
+    targets: jax.Array,  # [N]
+    neg_ids: jax.Array,  # [S]
+    weights: jax.Array,  # [N]
+) -> Tuple[jax.Array, jax.Array]:
+    """TOP1 ranking loss (Hidasi et al., ICLR'16 — the GRU4Rec paper's own
+    loss): mean_j sigmoid(neg_j - pos) + sigmoid(neg_j^2), the second term a
+    built-in score regularizer pushing negative scores toward zero.
+    Accidental hits (negative == positive) are excluded from the mean."""
+    pos_logit = jnp.sum(h * pos_emb, axis=-1).astype(jnp.float32)  # [N]
+    neg_logit = jnp.einsum("nh,sh->ns", h, neg_emb).astype(jnp.float32)  # [N, S]
+    hits = neg_ids[None, :] == targets[:, None]  # [N, S]
+    per_pair = (
+        jax.nn.sigmoid(neg_logit - pos_logit[:, None])
+        + jax.nn.sigmoid(neg_logit * neg_logit)
+    )
+    per_pair = jnp.where(hits, 0.0, per_pair)
+    denom = jnp.maximum(jnp.sum(~hits, axis=-1).astype(jnp.float32), 1.0)
+    per_pos = jnp.sum(per_pair, axis=-1) / denom
+    w = weights.astype(jnp.float32)
+    return jnp.sum(jnp.where(w > 0, per_pos, 0.0) * w), jnp.sum(w)
+
+
+def bpr_max_loss(
+    h: jax.Array,  # [N, H]
+    pos_emb: jax.Array,  # [N, H]
+    neg_emb: jax.Array,  # [S, H]
+    targets: jax.Array,  # [N]
+    neg_ids: jax.Array,  # [S]
+    weights: jax.Array,  # [N]
+    *,
+    reg: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """BPR-max (Hidasi & Karatzoglou, CIKM'18): softmax-score-weighted BPR
+    against the hardest negatives, with softmax-weighted L2 score
+    regularization — the loss behind the strong GRU4Rec+ numbers.
+
+    L = -log( sum_j s_j * sigmoid(pos - neg_j) ) + reg * sum_j s_j * neg_j^2,
+    where s = softmax(neg logits) over the sample (hits masked out).
+    """
+    pos_logit = jnp.sum(h * pos_emb, axis=-1).astype(jnp.float32)  # [N]
+    neg_logit = jnp.einsum("nh,sh->ns", h, neg_emb).astype(jnp.float32)  # [N, S]
+    hits = neg_ids[None, :] == targets[:, None]  # [N, S]
+    masked = jnp.where(hits, -1e30, neg_logit)
+    s = jax.nn.softmax(masked, axis=-1)  # [N, S]
+    p = jnp.sum(s * jax.nn.sigmoid(pos_logit[:, None] - neg_logit), axis=-1)
+    nll = -jnp.log(jnp.maximum(p, 1e-12))
+    reg_term = reg * jnp.sum(s * neg_logit * neg_logit, axis=-1)
+    per_pos = nll + reg_term
+    w = weights.astype(jnp.float32)
+    return jnp.sum(jnp.where(w > 0, per_pos, 0.0) * w), jnp.sum(w)
+
+
 def bpr_loss(
     h: jax.Array,  # [N, H]
     pos_emb: jax.Array,  # [N, H]

@@ -25,6 +25,7 @@ from seqrec_tpu.data.dataset import SequenceDataset, load_dataset
 from seqrec_tpu.data.negative import sample_negatives
 from seqrec_tpu.eval.harness import evaluate
 from seqrec_tpu.models import build_model
+from seqrec_tpu.models.model import SAMPLED_LOSSES
 from seqrec_tpu.runtime import make_mesh
 from seqrec_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
 from seqrec_tpu.train.checkpoint import CheckpointManager, abstract_like
@@ -121,13 +122,13 @@ class Trainer:
         neg_rng, dropout_rng = jax.random.split(step_rng)
 
         neg_ids = neg_log_q = None
-        if cfg.model.loss in ("sampled_softmax", "bpr"):
+        if cfg.model.loss in SAMPLED_LOSSES:
             neg_ids, neg_log_q = sample_negatives(
                 neg_rng, cfg.model.num_negatives, self.ds.vocab_size,
                 cfg.data.neg_sampler,
             )
-            if cfg.model.loss == "bpr":
-                neg_log_q = None
+            if cfg.model.loss != "sampled_softmax":
+                neg_log_q = None  # logQ correction is softmax-specific
 
         def loss_fn(params):
             loss_sum, w_sum = self.model.apply(

@@ -63,7 +63,9 @@ def test_causal_no_future_leak(arch, rng):
     assert not np.allclose(np.asarray(h1[:, t + 1:]), np.asarray(h2[:, t + 1:]))
 
 
-@pytest.mark.parametrize("loss", ["full_softmax", "sampled_softmax", "bpr"])
+@pytest.mark.parametrize(
+    "loss", ["full_softmax", "sampled_softmax", "bpr", "top1", "bpr_max"]
+)
 def test_loss_finite_and_masked(loss, rng):
     model = _make("gru4rec", loss=loss)
     batch = _batch(rng)

@@ -12,6 +12,7 @@ from seqrec_tpu.data.dataset import (
     _parse_amazon_csv,
     _parse_ml100k,
     _parse_ml1m,
+    _parse_rsc15,
     _parse_steam,
     prepare_dataset,
 )
@@ -80,6 +81,24 @@ def test_steam_format(tmp_path):
     ds = _parse_steam(str(p))
     assert ds.num_users == 5
     assert ds.vocab_size == 6
+
+
+def test_rsc15_format(tmp_path):
+    p = tmp_path / "yoochoose-clicks.dat"
+    rows = []
+    # Item 900 is clicked < 5 times -> filtered; session 3 then shrinks to
+    # length 1 -> dropped. Items 100/200 survive (5+ clicks each).
+    for s in (1, 2, 3, 4, 5):
+        rows.append(f"{s},2014-04-07T10:5{s}:09.277Z,100,0\n")
+        rows.append(f"{s},2014-04-07T11:5{s}:09.277Z,200,0\n")
+    rows.append("3,2014-04-07T09:00:00.000Z,900,0\n")
+    rows.append("6,2014-04-07T09:00:00.000Z,900,0\n")  # session len 1 anyway
+    p.write_text("".join(rows))
+    ds = _parse_rsc15(str(p))
+    assert ds.num_users == 5  # 5 surviving sessions
+    assert ds.vocab_size == 3  # items 100, 200 (+pad)
+    # ISO timestamps order chronologically within each session.
+    assert all(len(ds.seq(u)) == 2 for u in range(5))
 
 
 def test_prepare_dataset_finds_raw_in_subdir(tmp_path):
