@@ -75,6 +75,12 @@ class DataConfig:
     seed: int = 0
     # Negative sampling for training loss: "uniform" | "log_uniform".
     neg_sampler: str = "log_uniform"
+    # Session-parallel packed streaming (original GRU4Rec regime): dense
+    # [B, max_len] windows with zero padding waste, RNN state carried across
+    # windows (truncated BPTT), state reset at session starts. RNN towers
+    # only; disables bucketing (one window shape). Best for short-session
+    # datasets (rsc15).
+    session_parallel: bool = False
     # Use the native C++ threaded data engine when built (make -C native);
     # falls back to the Python pipeline automatically.
     use_native_loader: bool = True

@@ -180,6 +180,42 @@ class SeqRecModel(nn.Module):
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
         h = self.encode(inputs, mask, users=batch.get("users"),
                         deterministic=deterministic)
+        return self._head_loss(h, targets, mask, neg_ids, neg_log_q)
+
+    def loss_stream(
+        self,
+        batch: Dict[str, jax.Array],
+        carry,
+        *,
+        neg_ids: Optional[jax.Array] = None,
+        neg_log_q: Optional[jax.Array] = None,
+        deterministic: bool = False,
+    ):
+        """Session-parallel TBPTT window (original GRU4Rec training regime):
+        batch is a dense packed stream {inputs, targets, mask, reset}
+        (data.batching.make_session_stream); `carry` is the RNN state from
+        the previous window (towers.zero_carry to start). Returns
+        (sum_loss, sum_weight, new_carry); the trainer stop-gradients
+        new_carry at the window boundary."""
+        if self.arch != "gru4rec":
+            raise ValueError("session-parallel streaming needs an RNN tower")
+        if self.use_user_embedding:
+            raise ValueError("session streams are anonymous; disable "
+                             "use_user_embedding")
+        inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
+        with jax.named_scope("embedding_lookup"):
+            x = self._lookup(self.item_embedding, inputs)
+        if self.dropout_rate > 0.0:
+            x = self.input_dropout(x, deterministic=deterministic)
+        with jax.named_scope("tower"):
+            h, new_carry = self.tower(
+                x, mask, carry=carry, reset=batch["reset"],
+                deterministic=deterministic,
+            )
+        loss_sum, w_sum = self._head_loss(h, targets, mask, neg_ids, neg_log_q)
+        return loss_sum, w_sum, new_carry
+
+    def _head_loss(self, h, targets, mask, neg_ids, neg_log_q):
         B, T, H = h.shape
         h2 = h.reshape(B * T, H)
         t2 = targets.reshape(B * T)

@@ -17,6 +17,16 @@ import jax.numpy as jnp
 from seqrec_tpu import ops
 
 
+def zero_carry(cell: str, num_layers: int, batch: int, hidden: int,
+               dtype=jnp.float32):
+    """Fresh recurrent state for a session-parallel stream: per-layer h for
+    GRU, (h, c) for LSTM. Shape [batch, hidden] per leaf."""
+    z = lambda: jnp.zeros((batch, hidden), dtype)  # noqa: E731
+    if cell == "gru":
+        return tuple(z() for _ in range(num_layers))
+    return tuple((z(), z()) for _ in range(num_layers))
+
+
 def _lstm_bias_init(key, shape, dtype):
     """Forget-gate bias +1 (i|f|g|o block order): the standard LSTM init that
     keeps the cell remembering early in training (Jozefowicz et al. 2015)."""
@@ -46,12 +56,23 @@ class RNNTower(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array, *,
+                 carry=None, reset: jax.Array = None,
+                 deterministic: bool = True):
+        """Encode [B, T, D] -> [B, T, H].
+
+        `carry`/`reset` enable session-parallel streaming (truncated BPTT):
+        `carry` is the per-layer state from the previous window (see
+        `zero_carry`), `reset` [B, T] marks positions where a new session
+        starts (state zeroed BEFORE consuming them). When `carry` is given
+        the return is (outputs, new_carry); otherwise outputs alone.
+        """
         if self.cell not in ("gru", "lstm"):
             raise ValueError(f"unknown rnn cell {self.cell!r}")
         B, T, _ = x.shape
         gates = 3 if self.cell == "gru" else 4
         h = x
+        new_carry = []
         for layer in range(self.num_layers):
             d_in = h.shape[-1]
             w_x = self.param(
@@ -66,7 +87,7 @@ class RNNTower(nn.Module):
                 (self.hidden, gates * self.hidden),
                 self.param_dtype,
             )
-            h0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
+            layer_carry = carry[layer] if carry is not None else None
             if self.cell == "gru":
                 b_x = self.param(
                     f"gru{layer}_bx", nn.initializers.zeros,
@@ -76,21 +97,32 @@ class RNNTower(nn.Module):
                     f"gru{layer}_bh", nn.initializers.zeros,
                     (gates * self.hidden,), self.param_dtype
                 )
-                y, _ = ops.gru_scan(
-                    h, h0, w_x, w_h, b_x, b_h, use_pallas=self.use_pallas
+                h0 = (layer_carry if layer_carry is not None
+                      else jnp.zeros((B, self.hidden))).astype(h.dtype)
+                y, h_last = ops.gru_scan(
+                    h, h0, w_x, w_h, b_x, b_h, reset_mask=reset,
+                    use_pallas=self.use_pallas,
                 )
+                new_carry.append(h_last)
             else:
                 b = self.param(
                     f"lstm{layer}_b", _lstm_bias_init,
                     (gates * self.hidden,), self.param_dtype
                 )
-                c0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
-                y, _ = ops.lstm_scan(
-                    h, h0, c0, w_x, w_h, b, use_pallas=self.use_pallas
+                if layer_carry is not None:
+                    h0, c0 = (s.astype(h.dtype) for s in layer_carry)
+                else:
+                    h0 = c0 = jnp.zeros((B, self.hidden), dtype=h.dtype)
+                y, (h_last, c_last) = ops.lstm_scan(
+                    h, h0, c0, w_x, w_h, b, reset_mask=reset,
+                    use_pallas=self.use_pallas,
                 )
+                new_carry.append((h_last, c_last))
             h = y + h if (self.residual and d_in == self.hidden) else y
             if self.dropout_rate > 0.0 and layer < self.num_layers - 1:
                 h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        if carry is not None:
+            return h, tuple(new_carry)
         return h
 
 

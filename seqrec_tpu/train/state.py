@@ -21,6 +21,9 @@ class TrainState:
     params: Any
     opt_state: Any
     rng: jax.Array  # PRNG key, folded with step inside the train step
+    # Session-parallel mode only: per-layer RNN state carried across packed
+    # windows (towers.zero_carry pytree); None otherwise.
+    carry: Any = None
 
 
 def make_schedule(cfg: TrainConfig) -> optax.Schedule:

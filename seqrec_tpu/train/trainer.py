@@ -86,7 +86,16 @@ class Trainer:
         return self._repl
 
     def state_sharding(self, abstract_state: TrainState):
-        return jax.tree.map(self._leaf_sharding, abstract_state)
+        sh = jax.tree.map(self._leaf_sharding, abstract_state)
+        if abstract_state.carry is not None:
+            # RNN carry rows align with batch rows: shard over the flattened
+            # mesh like every batch plane.
+            sh = sh.replace(
+                carry=jax.tree.map(
+                    lambda _: self._batch_sharding, abstract_state.carry
+                )
+            )
+        return sh
 
     # ---- state init -----------------------------------------------------
 
@@ -103,11 +112,21 @@ class Trainer:
             dummy_mask = jnp.ones((dummy_b, T), jnp.float32)
             params = self.model.init(rng, dummy_ids, dummy_mask)
             opt_state = self.optimizer.init(params["params"])
+            carry = None
+            if self.cfg.data.session_parallel:
+                from seqrec_tpu.models.towers import zero_carry
+
+                carry = zero_carry(
+                    self.cfg.model.cell_type, self.cfg.model.num_layers,
+                    self.global_batch, self.cfg.model.hidden,
+                    jnp.dtype(self.cfg.model.compute_dtype),
+                )
             return TrainState(
                 step=jnp.zeros((), jnp.int32),
                 params=params,
                 opt_state=opt_state,
                 rng=jax.random.key(seed + 1),
+                carry=carry,
             )
 
         abstract = jax.eval_shape(_init, jax.random.key(seed))
@@ -130,19 +149,42 @@ class Trainer:
             if cfg.model.loss != "sampled_softmax":
                 neg_log_q = None  # logQ correction is softmax-specific
 
-        def loss_fn(params):
-            loss_sum, w_sum = self.model.apply(
-                params,
-                batch,
-                neg_ids=neg_ids,
-                neg_log_q=neg_log_q,
-                deterministic=False,
-                method=self.model.loss,
-                rngs={"dropout": dropout_rng},
-            )
-            return loss_sum / jnp.maximum(w_sum, 1.0), (loss_sum, w_sum)
+        if cfg.data.session_parallel:
 
-        (loss, (loss_sum, w_sum)), grads = jax.value_and_grad(
+            def loss_fn(params):
+                loss_sum, w_sum, new_carry = self.model.apply(
+                    params,
+                    batch,
+                    state.carry,
+                    neg_ids=neg_ids,
+                    neg_log_q=neg_log_q,
+                    deterministic=False,
+                    method=self.model.loss_stream,
+                    rngs={"dropout": dropout_rng},
+                )
+                # TBPTT: gradients do not flow across window boundaries.
+                new_carry = jax.lax.stop_gradient(new_carry)
+                return loss_sum / jnp.maximum(w_sum, 1.0), (
+                    loss_sum, w_sum, new_carry
+                )
+
+        else:
+
+            def loss_fn(params):
+                loss_sum, w_sum = self.model.apply(
+                    params,
+                    batch,
+                    neg_ids=neg_ids,
+                    neg_log_q=neg_log_q,
+                    deterministic=False,
+                    method=self.model.loss,
+                    rngs={"dropout": dropout_rng},
+                )
+                return loss_sum / jnp.maximum(w_sum, 1.0), (
+                    loss_sum, w_sum, None
+                )
+
+        (loss, (loss_sum, w_sum, new_carry)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         if cfg.train.debug_nans:
@@ -162,6 +204,7 @@ class Trainer:
             params=new_params,
             opt_state=new_opt,
             rng=state.rng,
+            carry=new_carry,
         )
         metrics = {
             "loss": loss,
@@ -184,6 +227,16 @@ class Trainer:
 
     def train_iterator(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
         host_shard = (jax.process_index(), jax.process_count())
+        if self.cfg.data.session_parallel:
+            from seqrec_tpu.data.batching import make_session_stream
+
+            return make_session_stream(
+                self.ds,
+                batch_size=self.local_batch,
+                window=self.cfg.data.max_len,
+                seed=self.cfg.data.seed,
+                host_shard=host_shard,
+            )
         if self.cfg.data.use_native_loader:
             from seqrec_tpu.data import native
 
@@ -208,14 +261,20 @@ class Trainer:
     def precompile(self, state: TrainState) -> None:
         """AOT-compile one executable per bucket BEFORE the hot loop
         (SURVEY.md §7.3 item 3: no mid-training compile stalls)."""
-        buckets = self.cfg.data.buckets or (self.cfg.data.max_len,)
+        if self.cfg.data.session_parallel:
+            buckets = (self.cfg.data.max_len,)  # one window shape
+        else:
+            buckets = self.cfg.data.buckets or (self.cfg.data.max_len,)
         for b in buckets:
             dummy = {
                 "inputs": np.zeros((self.local_batch, b), np.int32),
                 "targets": np.zeros((self.local_batch, b), np.int32),
                 "mask": np.zeros((self.local_batch, b), np.float32),
-                "users": np.zeros((self.local_batch,), np.int32),
             }
+            if self.cfg.data.session_parallel:
+                dummy["reset"] = np.ones((self.local_batch, b), np.float32)
+            else:
+                dummy["users"] = np.zeros((self.local_batch,), np.int32)
             self._train_step.lower(state, self.put_batch(dummy)).compile()
 
     # ---- the loop --------------------------------------------------------
