@@ -31,9 +31,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from seqrec_tpu.ops import xla as xla_ops
-
-
 def supported(x: jax.Array, h0: jax.Array) -> bool:
     """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
     B, T, D = x.shape
@@ -42,9 +39,11 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
-def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
-                     ys_ref, h_ref):
-    """One time step per grid slot; h_ref is persistent VMEM scratch."""
+def _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
+                   ys_ref, h_ref, keep_ref=None):
+    """One time step per grid slot; h_ref is persistent VMEM scratch.
+    keep_ref ([1, B, 1] per step, 0.0 = reset state BEFORE this step) is
+    present only in the session-parallel variant."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -52,6 +51,8 @@ def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
         h_ref[:] = h0_ref[:]
 
     h = h_ref[:]
+    if keep_ref is not None:
+        h = h * keep_ref[0]
     xp = (
         jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
         + b_x_ref[:]
@@ -71,6 +72,18 @@ def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
     ys_ref[0] = h_next
 
 
+def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
+                     ys_ref, h_ref):
+    _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
+                   ys_ref, h_ref)
+
+
+def _gru_step_kernel_reset(x_ref, keep_ref, w_x_ref, w_h_ref, b_x_ref,
+                           b_h_ref, h0_ref, ys_ref, h_ref):
+    _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
+                   ys_ref, h_ref, keep_ref=keep_ref)
+
+
 def _gru_forward_pallas(
     x: jax.Array,  # [B, T, D]
     h0: jax.Array,  # [B, H]
@@ -78,6 +91,7 @@ def _gru_forward_pallas(
     w_h: jax.Array,  # [H, 3H]
     b_x: jax.Array,  # [3H]
     b_h: jax.Array,  # [3H]
+    reset: Optional[jax.Array] = None,  # [B, T] 1.0 = reset BEFORE step t
     *,
     interpret: bool = False,
 ) -> jax.Array:  # ys [B, T, H]
@@ -85,24 +99,36 @@ def _gru_forward_pallas(
     H3 = w_h.shape[-1]
     H = H3 // 3
     xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
+    x_spec = pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b_x [1, 3H]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b_h [1, 3H]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+    ]
+    if reset is None:
+        kernel, in_specs = _gru_step_kernel, [x_spec] + common_specs
+        operands = (xs, w_x, w_h, b_x.reshape(1, H3), b_h.reshape(1, H3), h0)
+    else:
+        keep = (1.0 - jnp.swapaxes(reset, 0, 1)).astype(x.dtype)[:, :, None]
+        keep_spec = pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        kernel = _gru_step_kernel_reset
+        in_specs = [x_spec, keep_spec] + common_specs
+        operands = (xs, keep, w_x, w_h, b_x.reshape(1, H3),
+                    b_h.reshape(1, H3), h0)
     ys = pl.pallas_call(
-        _gru_step_kernel,
+        kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_x [1, 3H]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_h [1, 3H]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],
         interpret=interpret,
-    )(xs, w_x, w_h, b_x.reshape(1, H3), b_h.reshape(1, H3), h0)
+    )(*operands)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
@@ -113,31 +139,40 @@ def _gru_bwd_math(
     w_h: jax.Array,  # [H, 3H]
     b_h: jax.Array,  # [3H]
     g_ys: jax.Array,  # [B, T, H] cotangent of outputs
+    reset: Optional[jax.Array] = None,  # [B, T]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Analytic GRU BPTT (reverse scan). Returns (d_x_proj, d_h0, d_w_h, d_b_h).
 
-    Per step (forward): r = σ(xr+hr), z = σ(xz+hz), n = tanh(xn + r*hn),
-    h' = (1-z) n + z h, where [hr|hz|hn] = h @ U + b_h.
+    Per step (forward): h_in = keep * h_prev (keep = 1 - reset),
+    r = σ(xr+hr), z = σ(xz+hz), n = tanh(xn + r*hn),
+    h' = (1-z) n + z h_in, where [hr|hz|hn] = h_in @ U + b_h.
     """
     H = h0.shape[-1]
+    B, T = hs.shape[0], hs.shape[1]
     dtype = x_proj.dtype
 
     h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)  # [B,T,H]
+    keep_all = (
+        jnp.ones((B, T, 1), dtype)
+        if reset is None
+        else (1.0 - reset.astype(dtype))[:, :, None]
+    )
 
     def step(carry, inp):
         dh_next, dW, db = carry
-        xp, h_prev, h_out, g_y = inp
+        xp, h_prev, keep, g_y = inp
         dh = dh_next + g_y
+        h_in = h_prev * keep  # state the forward step actually consumed
         # Recompute gates from saved tensors (cheap VPU math + 1 matmul).
-        h_proj = jnp.dot(h_prev, w_h, preferred_element_type=dtype) + b_h
+        h_proj = jnp.dot(h_in, w_h, preferred_element_type=dtype) + b_h
         xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
         hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        # h_out = (1-z) n + z h_prev
+        # h_out = (1-z) n + z h_in
         dn = dh * (1.0 - z)
-        dz = dh * (h_prev - n)
+        dz = dh * (h_in - n)
         dpre_n = dn * (1.0 - n * n)  # d(xn + r*hn)
         dr = dpre_n * hn
         dpre_z = dz * z * (1.0 - z)
@@ -146,18 +181,19 @@ def _gru_bwd_math(
         d_hproj = jnp.concatenate(
             [dpre_r, dpre_z, dpre_n * r], axis=-1
         )  # [B, 3H]
-        dh_prev = (
+        dh_in = (
             dh * z
             + jnp.dot(d_hproj, w_h.T, preferred_element_type=dtype)
         )
-        dW = dW + jnp.dot(h_prev.T, d_hproj, preferred_element_type=dtype)
+        dh_prev = dh_in * keep  # through the reset mask
+        dW = dW + jnp.dot(h_in.T, d_hproj, preferred_element_type=dtype)
         db = db + jnp.sum(d_hproj, axis=0)
         return (dh_prev, dW, db), d_xp
 
     inps = (
         jnp.swapaxes(x_proj, 0, 1),
         jnp.swapaxes(h_prev_all, 0, 1),
-        jnp.swapaxes(hs, 0, 1),
+        jnp.swapaxes(keep_all, 0, 1),
         jnp.swapaxes(g_ys, 0, 1),
     )
     init = (
@@ -169,27 +205,30 @@ def _gru_bwd_math(
     return jnp.swapaxes(d_xp_t, 0, 1), dh0, dW, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _gru_core(x, h0, w_x, w_h, b_x, b_h, interpret):
-    return _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gru_core(x, h0, w_x, w_h, b_x, b_h, reset, interpret):
+    return _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h, reset,
                                interpret=interpret)
 
 
-def _gru_core_fwd(x, h0, w_x, w_h, b_x, b_h, interpret):
-    ys = _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h, interpret=interpret)
-    return ys, (x, ys, h0, w_x, w_h, b_x, b_h)
+def _gru_core_fwd(x, h0, w_x, w_h, b_x, b_h, reset, interpret):
+    ys = _gru_forward_pallas(x, h0, w_x, w_h, b_x, b_h, reset,
+                             interpret=interpret)
+    return ys, (x, ys, h0, w_x, w_h, b_x, b_h, reset)
 
 
 def _gru_core_bwd(interpret, res, g_ys):
-    x, ys, h0, w_x, w_h, b_x, b_h = res
+    x, ys, h0, w_x, w_h, b_x, b_h, reset = res
     dtype = x.dtype
     # Recompute the input projection in one parallel-over-T MXU matmul.
     x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b_x
-    d_xp, dh0, dW_h, db_h = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys)
+    d_xp, dh0, dW_h, db_h = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys,
+                                          reset)
     d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
     dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
     db_x = jnp.sum(d_xp, axis=(0, 1)).astype(b_x.dtype)
-    return d_x, dh0, dW_x, dW_h, db_x, db_h
+    d_reset = None if reset is None else jnp.zeros_like(reset)
+    return d_x, dh0, dW_x, dW_h, db_x, db_h, d_reset
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
@@ -206,17 +245,14 @@ def gru_scan(
     reset_mask: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in fused version of ops.xla.gru_scan (same signature/semantics).
-
-    reset_mask is not supported by the fused kernel (dispatch falls back).
-    """
-    if reset_mask is not None:
-        return xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h,
-                                reset_mask=reset_mask)
+    """Drop-in fused version of ops.xla.gru_scan (same signature/semantics),
+    including `reset_mask` (session-parallel streaming): the keep plane
+    streams into the kernel as a [T, B, 1] input and the analytic BPTT
+    backward accounts for the pre-step state zeroing."""
     dtype = x.dtype
     H3 = w_h.shape[-1]
     b_x_c = (b_x if b_x is not None else jnp.zeros(H3, dtype)).astype(dtype)
     b_h_c = (b_h if b_h is not None else jnp.zeros(H3, dtype)).astype(dtype)
     ys = _gru_core(x, h0.astype(dtype), w_x.astype(dtype),
-                   w_h.astype(dtype), b_x_c, b_h_c, interpret)
+                   w_h.astype(dtype), b_x_c, b_h_c, reset_mask, interpret)
     return ys, ys[:, -1]

@@ -29,9 +29,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from seqrec_tpu.ops import xla as xla_ops
-
-
 def supported(x: jax.Array, h0: jax.Array) -> bool:
     """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
     B, T, D = x.shape
@@ -40,9 +37,11 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
-def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
-                      ys_ref, h_ref, c_ref):
-    """One time step per grid slot; h_ref/c_ref are persistent VMEM scratch."""
+def _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
+                    ys_ref, h_ref, c_ref, keep_ref=None):
+    """One time step per grid slot; h_ref/c_ref are persistent VMEM scratch.
+    keep_ref ([1, B, 1] per step, 0.0 = reset state BEFORE this step) is
+    present only in the session-parallel variant."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -53,6 +52,10 @@ def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
 
     h = h_ref[:]
     c = c_ref[:]
+    if keep_ref is not None:
+        keep = keep_ref[0]
+        h = h * keep
+        c = c * keep.astype(c_ref.dtype)
     z = (
         jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
@@ -70,6 +73,18 @@ def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
     ys_ref[0] = h_next
 
 
+def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
+                      ys_ref, h_ref, c_ref):
+    _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
+                    ys_ref, h_ref, c_ref)
+
+
+def _lstm_step_kernel_reset(x_ref, keep_ref, w_x_ref, w_h_ref, b_ref,
+                            h0_ref, c0_ref, ys_ref, h_ref, c_ref):
+    _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
+                    ys_ref, h_ref, c_ref, keep_ref=keep_ref)
+
+
 def _lstm_forward_pallas(
     x: jax.Array,  # [B, T, D]
     h0: jax.Array,  # [B, H]
@@ -77,6 +92,7 @@ def _lstm_forward_pallas(
     w_x: jax.Array,  # [D, 4H]
     w_h: jax.Array,  # [H, 4H]
     b: jax.Array,  # [4H]
+    reset: Optional[jax.Array] = None,  # [B, T] 1.0 = reset BEFORE step t
     *,
     interpret: bool = False,
 ) -> jax.Array:  # ys [B, T, H]
@@ -84,26 +100,44 @@ def _lstm_forward_pallas(
     H4 = w_h.shape[-1]
     H = H4 // 4
     xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
+    x_spec = pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    common_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b [1, 4H]
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # c0
+    ]
+    if reset is None:
+        kernel, in_specs = _lstm_step_kernel, [x_spec] + common_specs
+        operands = (xs, w_x, w_h, b.reshape(1, H4), h0, c0)
+    else:
+        keep = (1.0 - jnp.swapaxes(reset, 0, 1)).astype(x.dtype)[:, :, None]
+        keep_spec = pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        kernel = _lstm_step_kernel_reset
+        in_specs = [x_spec, keep_spec] + common_specs
+        operands = (xs, keep, w_x, w_h, b.reshape(1, H4), h0, c0)
     ys = pl.pallas_call(
-        _lstm_step_kernel,
+        kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b [1, 4H]
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # c0
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), x.dtype),
                         pltpu.VMEM((B, H), jnp.float32)],
         interpret=interpret,
-    )(xs, w_x, w_h, b.reshape(1, H4), h0, c0)
+    )(*operands)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def _keep_plane(reset, B, T, dtype):
+    """[B, T, 1] keep multipliers (1 - reset); ones when reset is None."""
+    if reset is None:
+        return jnp.ones((B, T, 1), dtype)
+    return (1.0 - reset.astype(dtype))[:, :, None]
 
 
 def _recompute_cells(
@@ -112,26 +146,30 @@ def _recompute_cells(
     h0: jax.Array,  # [B, H]
     c0: jax.Array,  # [B, H]
     w_h: jax.Array,  # [H, 4H]
+    reset: Optional[jax.Array] = None,  # [B, T]
 ) -> jax.Array:  # cs [B, T, H] (c_1..c_T), float32
     """Forward-recompute cell states from saved h's: with h_prev known at
-    every step, c_t = f_t * c_{t-1} + i_t * g_t needs no sequential matmul —
-    the h @ U projections for ALL steps batch into one MXU matmul."""
-    H = h0.shape[-1]
-    h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
+    every step, c_t = f_t * (keep_t * c_{t-1}) + i_t * g_t needs no
+    sequential matmul — the h @ U projections for ALL steps batch into one
+    MXU matmul (h_prev is masked by keep first, matching the kernel)."""
+    B, T, H = hs.shape
+    keep_all = _keep_plane(reset, B, T, x_proj.dtype)
+    h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1) * keep_all
     z = x_proj + jnp.einsum("bth,hk->btk", h_prev_all, w_h)
     i = jax.nn.sigmoid(z[..., :H]).astype(jnp.float32)
     f = jax.nn.sigmoid(z[..., H:2 * H]).astype(jnp.float32)
     g = jnp.tanh(z[..., 2 * H:3 * H]).astype(jnp.float32)
 
     def step(c, inp):
-        i_t, f_t, g_t = inp
-        c_next = f_t * c + i_t * g_t
+        i_t, f_t, g_t, keep_t = inp
+        c_next = f_t * (keep_t * c) + i_t * g_t
         return c_next, c_next
 
     _, cs = lax.scan(
         step,
         c0.astype(jnp.float32),
-        (jnp.swapaxes(i, 0, 1), jnp.swapaxes(f, 0, 1), jnp.swapaxes(g, 0, 1)),
+        (jnp.swapaxes(i, 0, 1), jnp.swapaxes(f, 0, 1), jnp.swapaxes(g, 0, 1),
+         jnp.swapaxes(keep_all.astype(jnp.float32), 0, 1)),
     )
     return jnp.swapaxes(cs, 0, 1)
 
@@ -144,13 +182,16 @@ def _lstm_bwd_math(
     c0: jax.Array,  # [B, H]
     w_h: jax.Array,  # [H, 4H]
     g_ys: jax.Array,  # [B, T, H] cotangent of outputs
+    reset: Optional[jax.Array] = None,  # [B, T]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Analytic LSTM BPTT (reverse scan).
 
     Returns (d_x_proj, d_h0, d_c0, d_w_h, d_b)."""
     H = h0.shape[-1]
+    B, T = hs.shape[0], hs.shape[1]
     dtype = x_proj.dtype
 
+    keep_all = _keep_plane(reset, B, T, dtype)
     h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1)
     c_prev_all = jnp.concatenate(
         [c0.astype(jnp.float32)[:, None], cs[:, :-1]], axis=1
@@ -158,10 +199,12 @@ def _lstm_bwd_math(
 
     def step(carry, inp):
         dh_next, dc_next, dW, db = carry
-        xp, h_prev, c_prev, c_out, g_y = inp
+        xp, h_prev, c_prev, c_out, keep, g_y = inp
         dh = dh_next + g_y.astype(jnp.float32)
+        h_in = h_prev * keep  # state the forward step actually consumed
+        c_in = c_prev * keep.astype(jnp.float32)
         # Recompute gates (1 matmul + VPU math per step).
-        z = xp + jnp.dot(h_prev, w_h, preferred_element_type=dtype)
+        z = xp + jnp.dot(h_in, w_h, preferred_element_type=dtype)
         i = jax.nn.sigmoid(z[:, :H]).astype(jnp.float32)
         f = jax.nn.sigmoid(z[:, H:2 * H]).astype(jnp.float32)
         g = jnp.tanh(z[:, 2 * H:3 * H]).astype(jnp.float32)
@@ -170,7 +213,7 @@ def _lstm_bwd_math(
         do = dh * tanh_c
         dc = dc_next + dh * o * (1.0 - tanh_c * tanh_c)
         di = dc * g
-        df = dc * c_prev
+        df = dc * c_in
         dg = dc * i
         dzi = di * i * (1.0 - i)
         dzf = df * f * (1.0 - f)
@@ -179,9 +222,9 @@ def _lstm_bwd_math(
         dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=-1).astype(dtype)
         dh_prev = jnp.dot(dz, w_h.T, preferred_element_type=dtype).astype(
             jnp.float32
-        )
-        dc_prev = dc * f
-        dW = dW + jnp.dot(h_prev.T, dz, preferred_element_type=dtype)
+        ) * keep.astype(jnp.float32)
+        dc_prev = dc * f * keep.astype(jnp.float32)
+        dW = dW + jnp.dot(h_in.T, dz, preferred_element_type=dtype)
         db = db + jnp.sum(dz, axis=0)
         return (dh_prev, dc_prev, dW, db), dz
 
@@ -190,6 +233,7 @@ def _lstm_bwd_math(
         jnp.swapaxes(h_prev_all, 0, 1),
         jnp.swapaxes(c_prev_all, 0, 1),
         jnp.swapaxes(cs, 0, 1),
+        jnp.swapaxes(keep_all, 0, 1),
         jnp.swapaxes(g_ys, 0, 1),
     )
     init = (
@@ -208,29 +252,32 @@ def _lstm_bwd_math(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _lstm_core(x, h0, c0, w_x, w_h, b, interpret):
-    return _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _lstm_core(x, h0, c0, w_x, w_h, b, reset, interpret):
+    return _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, reset,
+                                interpret=interpret)
 
 
-def _lstm_core_fwd(x, h0, c0, w_x, w_h, b, interpret):
-    ys = _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, interpret=interpret)
-    return ys, (x, ys, h0, c0, w_x, w_h, b)
+def _lstm_core_fwd(x, h0, c0, w_x, w_h, b, reset, interpret):
+    ys = _lstm_forward_pallas(x, h0, c0, w_x, w_h, b, reset,
+                              interpret=interpret)
+    return ys, (x, ys, h0, c0, w_x, w_h, b, reset)
 
 
 def _lstm_core_bwd(interpret, res, g_ys):
-    x, ys, h0, c0, w_x, w_h, b = res
+    x, ys, h0, c0, w_x, w_h, b, reset = res
     dtype = x.dtype
     # Recompute the input projection in one parallel-over-T MXU matmul.
     x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b
-    cs = _recompute_cells(x_proj, ys, h0, c0, w_h)
+    cs = _recompute_cells(x_proj, ys, h0, c0, w_h, reset)
     d_xp, dh0, dc0, dW_h, db = _lstm_bwd_math(
-        x_proj, ys, cs, h0, c0, w_h, g_ys
+        x_proj, ys, cs, h0, c0, w_h, g_ys, reset
     )
     d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
     dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
     db_out = jnp.sum(d_xp, axis=(0, 1)).astype(b.dtype)
-    return d_x, dh0, dc0, dW_x, dW_h.astype(w_h.dtype), db_out
+    d_reset = None if reset is None else jnp.zeros_like(reset)
+    return d_x, dh0, dc0, dW_x, dW_h.astype(w_h.dtype), db_out, d_reset
 
 
 _lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
@@ -247,26 +294,26 @@ def lstm_scan(
     reset_mask: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """Drop-in fused version of ops.xla.lstm_scan (same signature/semantics).
+    """Drop-in fused version of ops.xla.lstm_scan (same signature/semantics),
+    including `reset_mask` (session-parallel streaming — keep plane streamed
+    into the kernel, analytic BPTT accounts for the pre-step zeroing).
 
-    reset_mask is not supported by the fused kernel (dispatch falls back).
-    The final cell state is recomputed from the last step's tensors (the
-    kernel saves only h's); callers that need c_last pay one extra step of
-    recompute, which is negligible.
+    The final cell state is recomputed from the saved h's in one batched
+    matmul + cheap scan (the kernel saves only h's); XLA dead-code-eliminates
+    it when the caller drops c_last.
     """
-    if reset_mask is not None:
-        return xla_ops.lstm_scan(x, h0, c0, w_x, w_h, b,
-                                 reset_mask=reset_mask)
     dtype = x.dtype
     H4 = w_h.shape[-1]
     b_c = (b if b is not None else jnp.zeros(H4, dtype)).astype(dtype)
     ys = _lstm_core(x, h0.astype(dtype), c0.astype(dtype),
-                    w_x.astype(dtype), w_h.astype(dtype), b_c, interpret)
+                    w_x.astype(dtype), w_h.astype(dtype), b_c, reset_mask,
+                    interpret)
     # c_last via the batched recompute (stop_gradient: it re-derives from ys).
     x_proj = jnp.einsum("btd,dh->bth", lax.stop_gradient(x),
                         lax.stop_gradient(w_x).astype(dtype)) + b_c
     cs = _recompute_cells(
         x_proj, lax.stop_gradient(ys), lax.stop_gradient(h0),
-        lax.stop_gradient(c0), lax.stop_gradient(w_h).astype(dtype)
+        lax.stop_gradient(c0), lax.stop_gradient(w_h).astype(dtype),
+        reset_mask,
     )
     return ys, (ys[:, -1], cs[:, -1].astype(dtype))

@@ -68,11 +68,38 @@ def test_final_state_is_last_output():
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(ys[:, -1]))
 
 
-def test_reset_mask_falls_back():
-    x, h0, w_x, w_h, b_x, b_h = _inputs(T=4)
-    rm = jnp.zeros((8, 4), jnp.float32).at[:, 2].set(1.0)
+def test_reset_mask_forward_parity():
+    """Fused kernel with a mid-sequence reset plane == XLA oracle."""
+    x, h0, w_x, w_h, b_x, b_h = _inputs(T=6, H=64)
+    rng = np.random.default_rng(3)
+    rm = jnp.asarray(rng.integers(0, 2, size=(8, 6)), jnp.float32)
     ys_pl, _ = pl_gru.gru_scan(x, h0, w_x, w_h, b_x, b_h, reset_mask=rm,
                                interpret=True)
     ys_ref, _ = xla_ops.gru_scan(x, h0, w_x, w_h, b_x, b_h, reset_mask=rm)
     np.testing.assert_allclose(np.asarray(ys_pl), np.asarray(ys_ref),
-                               rtol=1e-6)
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reset_mask_gradient_parity():
+    x, h0, w_x, w_h, b_x, b_h = _inputs(B=4, T=6, D=8, H=64)
+    rng = np.random.default_rng(4)
+    rm = jnp.asarray(rng.integers(0, 2, size=(4, 6)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(4, 6, 64)), jnp.float32)
+
+    def loss(f):
+        def g(x, h0, w_x, w_h, b_x, b_h):
+            ys, _ = f(x, h0, w_x, w_h, b_x, b_h)
+            return jnp.vdot(ys, cot)
+        return jax.grad(g, argnums=(0, 1, 2, 3, 4, 5))
+
+    g_ref = loss(
+        lambda *a: xla_ops.gru_scan(*a, reset_mask=rm)
+    )(x, h0, w_x, w_h, b_x, b_h)
+    g_pl = loss(
+        lambda *a: pl_gru.gru_scan(*a, reset_mask=rm, interpret=True)
+    )(x, h0, w_x, w_h, b_x, b_h)
+    for a, b, name in zip(g_pl, g_ref, ["x", "h0", "w_x", "w_h", "b_x", "b_h"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {name}",
+        )

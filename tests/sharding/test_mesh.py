@@ -41,6 +41,36 @@ def test_dp_trainer_runs_on_mesh(tiny_ds, tmp_path):
     assert int(jax.device_get(state.step)) == 3
 
 
+def test_session_parallel_trainer_on_mesh(tiny_ds, tmp_path):
+    """Session-parallel streaming across DP x TP(2): the carried RNN state
+    shards like batch rows and training proceeds."""
+    from seqrec_tpu.train.trainer import Trainer
+
+    cfg = RunConfig()
+    cfg.model.embed_dim = 16
+    cfg.model.use_pallas = False
+    cfg.model.compute_dtype = "float32"
+    cfg.model.loss = "sampled_softmax"
+    cfg.model.num_negatives = 16
+    cfg.data.batch_size = 2
+    cfg.data.max_len = 10
+    cfg.data.session_parallel = True
+    cfg.train.num_steps = 3
+    cfg.train.log_every = 100
+    cfg.train.eval_every = 0
+    cfg.train.checkpoint_every = 0
+    cfg.train.out_dir = str(tmp_path / "sp")
+    cfg.mesh.model_axis = 2
+    cfg.mesh.shard_embeddings = True
+    tr = Trainer(cfg, ds=tiny_ds)
+    state, _ = tr.fit()
+    assert int(jax.device_get(state.step)) == 3
+    carry0 = state.carry[0]
+    assert carry0.shape == (16, 16)  # (global batch, hidden)
+    assert "data" in jax.tree_util.tree_leaves(carry0.sharding.spec)[0] or \
+        carry0.sharding.spec[0] == ("data", "model")
+
+
 def test_sharded_embedding_trainer(tiny_ds, tmp_path):
     """DP x TP(2) with row-sharded tables trains and matches replicated
     single-step loss closely."""
