@@ -8,14 +8,20 @@ TPU chip under the driver).
 `vs_baseline` divides by the committed single-process CPU reference number
 (BASELINE.md; measured on this machine's host CPU with the identical config
 and pure-XLA ops). Driver target: >= 3x (BASELINE.json:5).
+
+Timing is the fetch-terminated slope method (benchmarks/timing.py): on the
+axon relay block_until_ready does not wait for compute, so earlier naive
+chain timings overstated throughput ~10x. Both the TPU number and the CPU
+baseline below were (re)measured with the honest method (2026-08-18).
 """
 
 import json
 import sys
 
-# Measured on this host's CPU (see BASELINE.md "measured CPU baseline"):
-# python bench.py --cpu  -> examples_per_s_per_chip (2026-08-17).
-CPU_BASELINE_EPS = 40.41
+# Measured on this host's CPU with the identical config and pure-XLA ops:
+# python bench.py --cpu  -> examples_per_s_per_chip (2026-08-18,
+# fetch-terminated slope; see BASELINE.md "measured CPU baseline").
+CPU_BASELINE_EPS = 249.95
 
 
 def main() -> int:
@@ -39,9 +45,9 @@ def main() -> int:
         num_items=3_417,  # ML-1M catalog size
         loss="sampled_softmax",
     )
-    # 400 steps: measured step-time vs chain-length asymptotes by ~200 steps
-    # (relay dispatch overhead amortized); shorter chains overstate step time.
-    steps = 30 if "--cpu" in sys.argv else 400
+    # TPU: 100/300-step chains (~ms steps, seconds per chain). CPU: seconds
+    # per STEP, so tiny chains — the slope still cancels constant overhead.
+    steps = 4 if "--cpu" in sys.argv else 100
     result = run_benchmark(cfg, steps=steps, warmup=5)
     eps = result["examples_per_s_per_chip"]
     print(

@@ -1,9 +1,12 @@
 """Throughput benchmark harness (SURVEY.md §2 #27): examples/s/chip.
 
 Times the steady-state compiled train step over synthetic data (no host IO in
-the timed region — batches are staged to device up front), the standard way
-to measure the XLA step itself. `run_benchmark` is used by both the CLI
-`benchmark` subcommand and the repo-root `bench.py`.
+the timed region — batches are staged to device up front). Timing uses the
+fetch-terminated slope method from `benchmarks.timing`: on the axon relay,
+``block_until_ready`` acknowledges dispatch without waiting for compute, so
+naive chain timing measures dispatch throughput and overstates examples/s
+~10x (measured; see benchmarks/timing.py). `run_benchmark` is used by both
+the CLI `benchmark` subcommand and the repo-root `bench.py`.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
+from benchmarks.timing import chain_slope_ms, fetch_scalar
 from seqrec_tpu.config import RunConfig
 from seqrec_tpu.data.dataset import synthetic_dataset
 from seqrec_tpu.train.trainer import Trainer
@@ -34,7 +38,6 @@ def run_benchmark(
         max_len=cfg.data.max_len + 1,
     )
     tr = Trainer(cfg, ds=ds)
-    state = tr.init_state()
 
     # Stage a few distinct batches on device; cycle through them.
     it = tr.train_iterator()
@@ -45,38 +48,36 @@ def run_benchmark(
 
     # Warmup (includes compile).
     t_compile = time.perf_counter()
+    state = tr.init_state()
     for i in range(max(warmup, 1)):
         state, metrics = tr._train_step(state, staged[i % len(staged)])
-    jax.block_until_ready(metrics["loss"])
+    fetch_scalar(metrics["loss"])
     warmup_s = time.perf_counter() - t_compile
+    del state
 
-    # Two chain lengths; report the SLOPE. A single async chain's wall time
-    # includes a constant dispatch/round-trip latency (30+ ms through the
-    # axon relay) that would otherwise dominate sub-ms step times; the
-    # (2n - n) difference cancels it.
-    def chain(n, state):
-        t0 = time.perf_counter()
-        for i in range(n):
-            state, metrics = tr._train_step(state, staged[i % len(staged)])
-        jax.block_until_ready(metrics["loss"])
-        return time.perf_counter() - t0, state
+    def step(carry, i):
+        new_state, _metrics = tr._train_step(carry, staged[i % len(staged)])
+        return new_state
 
-    t_short, state = chain(steps, state)
-    t_long, state = chain(2 * steps, state)
-    dt = max(t_long - t_short, 1e-9)
+    # The train step donates its input state, so each chain seeds fresh
+    # buffers via the compiled init.
+    step_ms, detail = chain_slope_ms(
+        step, tr.init_state, n_short=steps, n_long=3 * steps
+    )
+    dt_s = max(step_ms, 1e-6) / 1e3
 
     n_dev = tr.num_devices
-    eps = steps * tr.global_batch / dt
+    eps = tr.global_batch / dt_s
     return {
         "steps": steps,
         "global_batch": tr.global_batch,
         "seq_len": cfg.data.max_len,
         "num_devices": n_dev,
-        "step_time_ms": 1e3 * dt / steps,
+        "step_time_ms": step_ms,
         "examples_per_s": eps,
         "examples_per_s_per_chip": eps / n_dev,
-        "chain_short_s": t_short,
-        "chain_long_s": t_long,
+        "chain_short_s": detail["chain_short_s"],
+        "chain_long_s": detail["chain_long_s"],
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
     }

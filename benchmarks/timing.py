@@ -1,0 +1,82 @@
+"""Honest on-device timing through an async PJRT relay.
+
+Measured fact about this environment (axon relay, one real v5e chip):
+``jax.block_until_ready`` on a relay-backed array returns when the dispatch
+is acknowledged, NOT when the computation finishes — a 200-step chain of
+~1 ms train steps "blocks" in 20 ms while a subsequent host fetch of the
+same value stalls for the full minute of queued work. Any timing loop built
+on block_until_ready therefore measures dispatch throughput (~0.1 ms/call),
+off by ~10x from the real step time.
+
+The honest primitive, used by every benchmark in this repo:
+
+- chains must be serially data-dependent (each step consumes the previous
+  step's output), so the final value transitively requires every step;
+- each timed chain ends with a HOST FETCH of a concrete scalar derived from
+  the final carry (``float(...)`` / device_get) — the only operation the
+  relay cannot acknowledge early;
+- the reported number is the SLOPE between two chain lengths, which cancels
+  the constant drain/round-trip latency of the fetch itself.
+
+On backends with working synchronization (CPU, direct TPU) this measures
+the same thing block_until_ready would, so it is safe everywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Carry = Any
+
+
+def fetch_scalar(carry: Carry) -> float:
+    """Pull one concrete scalar derived from `carry` to the host, forcing
+    every computation `carry` depends on to complete."""
+    leaves = [l for l in jax.tree.leaves(carry) if hasattr(l, "dtype")]
+    if not leaves:
+        raise ValueError("carry has no array leaves to fetch")
+    x = leaves[0]
+    if jnp.issubdtype(x.dtype, jnp.integer) or jnp.issubdtype(
+        x.dtype, jnp.floating
+    ):
+        return float(jnp.asarray(x).reshape(-1)[0])
+    return float(jnp.asarray(x).view(jnp.uint8).reshape(-1)[0])
+
+
+def chain_slope_ms(
+    step: Callable[[Carry, int], Carry],
+    seed: Callable[[], Carry],
+    *,
+    n_short: int = 50,
+    n_long: int = 150,
+    reps: int = 2,
+) -> Tuple[float, dict]:
+    """Per-step wall time (ms) of `step`, fetch-terminated slope method.
+
+    `step(carry, i) -> carry` must be serially dependent on `carry`. `seed()`
+    must return FRESH device buffers each call (donated args are consumed).
+    Returns (best_slope_ms, detail).
+    """
+    times = {n_short: [], n_long: []}
+    for _ in range(reps):
+        for n in (n_short, n_long):
+            c = step(seed(), 0)  # warm compile + drain marker
+            fetch_scalar(c)  # queue is now empty
+            t0 = time.perf_counter()
+            for i in range(n):
+                c = step(c, i + 1)
+            fetch_scalar(c)
+            times[n].append(time.perf_counter() - t0)
+    t_s, t_l = min(times[n_short]), min(times[n_long])
+    slope = (t_l - t_s) / (n_long - n_short) * 1e3
+    return slope, {
+        "chain_short_s": t_s,
+        "chain_long_s": t_l,
+        "n_short": n_short,
+        "n_long": n_long,
+        "reps": reps,
+    }

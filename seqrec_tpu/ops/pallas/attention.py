@@ -20,6 +20,7 @@ seam for a Pallas backward is the same blocked loop if max_len grows
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,11 +37,17 @@ NEG_INF = -1e30
 
 def supported(q: jax.Array) -> bool:
     B, T, N, Dh = q.shape
-    # Measured on-chip (v5e, fp32, Dh=32, T=200): XLA's fused attention beats
-    # this kernel below ~2 q-blocks of work (0.69 vs 1.13 ms) — the pad to
-    # BQ and whole-K/V VMEM residency dominate at session lengths. The flash
-    # path pays off once the [T, T] score matrix stops fitting in cache-like
-    # reuse, so gate it to long sequences; short sessions take the XLA path.
+    # Measured on-chip (v5e, bf16, Dh=32, fwd+bwd, fetch-terminated slope —
+    # see benchmarks/timing.py): XLA's fused attention wins ~2x at every
+    # session length tested (T=200: 0.42 vs 0.93 ms; T=512: 1.37 vs 2.72;
+    # T=1024: 5.63 vs 10.09). At recommender head counts (1–2) and short
+    # heads the [T, T] scores stay cheap enough that XLA's fusion beats this
+    # kernel's pad-to-BQ and block-loop overhead, so the gate is OFF by
+    # default. The kernel stays parity-tested as the blockwise/ring-attention
+    # seam (SURVEY.md §5.7); opt in via SEQREC_ENABLE_PALLAS_ATTN=1 to
+    # re-evaluate on other hardware or at much longer T.
+    if not os.environ.get("SEQREC_ENABLE_PALLAS_ATTN"):
+        return False
     return Dh % 8 == 0 and Dh <= 256 and T >= 2 * BQ
 
 

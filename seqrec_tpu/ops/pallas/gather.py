@@ -17,6 +17,7 @@ produces), wired through custom_vjp.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +33,16 @@ def supported(table: jax.Array, ids: jax.Array) -> bool:
     n = 1
     for s in ids.shape:
         n *= s
-    # Measured on-chip (v5e, fp32): at D=256/N=6400 this kernel is bit-exact
-    # but ~7% behind XLA's fused gather (326 vs 306 us) — both latency-bound.
-    # Keep XLA for narrow rows; the DMA kernel's per-row overhead amortizes
-    # only for wide embedding rows.
+    # Measured on-chip (v5e, fp32, V=100k N=25.6k, fwd+bwd, fetch-terminated
+    # slope — see benchmarks/timing.py): XLA's gather+scatter wins ~2x even
+    # at D=512 (1.34 vs 2.52 ms) — the per-row DMA issue overhead never
+    # amortizes against XLA's batched gather, so the gate is OFF by default.
+    # The kernel stays parity-tested (it is the template for the sharded
+    # lookup's local-gather stage); opt in via SEQREC_ENABLE_PALLAS_GATHER=1
+    # to re-evaluate on other hardware. D % 128 is a hard Mosaic constraint
+    # (HBM row slices must be lane-tile aligned), not a tuning choice.
+    if not os.environ.get("SEQREC_ENABLE_PALLAS_GATHER"):
+        return False
     return D % 128 == 0 and D >= 512 and n >= ROWS_PER_STEP
 
 

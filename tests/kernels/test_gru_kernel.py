@@ -103,3 +103,30 @@ def test_reset_mask_gradient_parity():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"grad mismatch: {name}",
         )
+
+
+def test_bfloat16_inputs_upcast_and_match():
+    """bf16 model inputs run the kernel in f32 (on-chip layout perf; see
+    gru_scan docstring) and return bf16 matching the XLA path's dtype."""
+    args = _inputs(H=64, dtype=jnp.bfloat16)
+    ys_pl, h_pl = pl_gru.gru_scan(*args, interpret=True)
+    assert ys_pl.dtype == jnp.bfloat16 and h_pl.dtype == jnp.bfloat16
+    f32 = [a.astype(jnp.float32) for a in args]
+    ys_ref, _ = xla_ops.gru_scan(*f32)
+    np.testing.assert_allclose(
+        np.asarray(ys_pl, np.float32), np.asarray(ys_ref), rtol=0.05, atol=0.05
+    )
+
+
+def test_bfloat16_gradients_flow():
+    x, h0, w_x, w_h, b_x, b_h = _inputs(B=4, T=6, D=8, H=64,
+                                        dtype=jnp.bfloat16)
+
+    def loss(w):
+        ys, _ = pl_gru.gru_scan(x, h0, w, w_h, b_x, b_h, interpret=True)
+        return jnp.sum(ys.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(w_x)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+    assert float(jnp.max(jnp.abs(g.astype(jnp.float32)))) > 0.0

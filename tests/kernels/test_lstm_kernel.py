@@ -158,3 +158,17 @@ def test_reset_mask_restarts_state():
     ys_fresh, _ = xla_ops.lstm_scan(x[:, 3:], h0, c0, w_x, w_h, b)
     np.testing.assert_allclose(np.asarray(ys[:, 3:]), np.asarray(ys_fresh),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_inputs_upcast_and_match():
+    """bf16 inputs run the kernel in f32 and come back bf16 (see lstm_scan
+    docstring for the on-chip rationale)."""
+    args = _inputs(H=64, dtype=jnp.bfloat16)
+    ys_pl, (h_pl, c_pl) = pl_lstm.lstm_scan(*args, interpret=True)
+    assert ys_pl.dtype == jnp.bfloat16
+    assert h_pl.dtype == jnp.bfloat16 and c_pl.dtype == jnp.bfloat16
+    f32 = [a.astype(jnp.float32) for a in args]
+    ys_ref, _ = xla_ops.lstm_scan(*f32)
+    np.testing.assert_allclose(
+        np.asarray(ys_pl, np.float32), np.asarray(ys_ref), rtol=0.05, atol=0.05
+    )
