@@ -41,7 +41,8 @@ def run_scaling(
         cfg.mesh.shard_embeddings = mesh.shape["model"] > 1
         from seqrec_tpu.data.dataset import synthetic_dataset
         from seqrec_tpu.train.trainer import Trainer
-        import time
+
+        from benchmarks.timing import chain_slope_ms, fetch_scalar
 
         ds = synthetic_dataset(max(batch_size * n * 4, 512), 10_000, seed=0,
                                min_len=10, max_len=max_len + 1)
@@ -51,13 +52,16 @@ def run_scaling(
         staged = [tr.put_batch(next(it)[1]) for _ in range(4)]
         for i in range(10):
             state, m = tr._train_step(state, staged[i % 4])
-        jax.block_until_ready(m["loss"])
-        t0 = time.perf_counter()
-        for i in range(steps):
-            state, m = tr._train_step(state, staged[i % 4])
-        jax.block_until_ready(m["loss"])
-        dt = time.perf_counter() - t0
-        eps = steps * tr.global_batch / dt
+        fetch_scalar(m["loss"])  # warm compile; block_until_ready lies on
+        del state                # the relay — see benchmarks/timing.py
+
+        def step(carry, i):
+            new_state, _m = tr._train_step(carry, staged[i % 4])
+            return new_state
+
+        step_ms, _ = chain_slope_ms(step, tr.init_state, n_short=steps,
+                                    n_long=3 * steps)
+        eps = tr.global_batch / (max(step_ms, 1e-6) / 1e3)
         if base_eps is None:
             base_eps = eps
         results.append({
