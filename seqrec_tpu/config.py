@@ -114,6 +114,13 @@ class TrainConfig:
     debug_nans: bool = False
     # Fault-injection for resume tests (SURVEY.md §5.3): exit after this step.
     fail_after_step: Optional[int] = None
+    # Large-catalog mode: never materialize a dense [V, D] gradient for the
+    # item table. The step gathers the batch's unique rows, differentiates
+    # through the sub-table, and scatter-updates only touched rows (and their
+    # optimizer-state rows). Requires a sampled loss + tied embeddings;
+    # adagrad/sgd match dense updates exactly, adam becomes lazy-adam
+    # (untouched rows skip moment decay). See train/sparse_embed.py.
+    sparse_embedding_update: bool = False
 
 
 @dataclass

@@ -157,9 +157,15 @@ class SeqRecModel(nn.Module):
                            deterministic=deterministic)
 
     def encode(self, inputs: jax.Array, mask: jax.Array, *, users=None,
-               deterministic: bool = True):
+               deterministic: bool = True, table_override=None):
+        """`table_override` replaces the item table for this call — the
+        sparse-embedding trainer passes the gathered [K, D] sub-table (with
+        `inputs` already remapped to sub-table positions) so autodiff
+        produces a [K, D] cotangent instead of a dense [V, D] one."""
         with jax.named_scope("embedding_lookup"):
-            x = self._lookup(self.item_embedding, inputs)
+            table = (self.item_embedding if table_override is None
+                     else table_override)
+            x = self._lookup(table, inputs)
             if self.use_user_embedding and users is not None:
                 u = self._lookup(self.user_embedding, users)  # [B, D]
                 x = x + u[:, None, :]
@@ -174,13 +180,18 @@ class SeqRecModel(nn.Module):
         *,
         neg_ids: Optional[jax.Array] = None,  # [S] shared sampled negatives
         neg_log_q: Optional[jax.Array] = None,  # [S]
+        pos_log_q: Optional[jax.Array] = None,  # [B*T]; see _head_loss
         deterministic: bool = False,
+        table_override=None,  # [K, D] sub-table; see encode
     ):
         """Masked training loss. Returns (sum_loss, sum_weight)."""
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
         h = self.encode(inputs, mask, users=batch.get("users"),
-                        deterministic=deterministic)
-        return self._head_loss(h, targets, mask, neg_ids, neg_log_q)
+                        deterministic=deterministic,
+                        table_override=table_override)
+        return self._head_loss(h, targets, mask, neg_ids, neg_log_q,
+                               pos_log_q=pos_log_q,
+                               table_override=table_override)
 
     def loss_stream(
         self,
@@ -215,13 +226,23 @@ class SeqRecModel(nn.Module):
         loss_sum, w_sum = self._head_loss(h, targets, mask, neg_ids, neg_log_q)
         return loss_sum, w_sum, new_carry
 
-    def _head_loss(self, h, targets, mask, neg_ids, neg_log_q):
+    def _head_loss(self, h, targets, mask, neg_ids, neg_log_q,
+                   pos_log_q=None, table_override=None):
+        """`pos_log_q` override exists for the sparse-embedding trainer path,
+        which remaps ids to sub-table positions before apply — the logQ
+        correction must be computed from the ORIGINAL ids, so the trainer
+        passes it in precomputed (train/sparse_embed.py). `table_override`
+        likewise substitutes the [K, D] sub-table for the tied output table
+        (sparse mode requires tie_embeddings)."""
         B, T, H = h.shape
         h2 = h.reshape(B * T, H)
         t2 = targets.reshape(B * T)
         w2 = mask.reshape(B * T).astype(jnp.float32)
 
-        out_table = self._out_table()
+        if table_override is not None and not self.tie_embeddings:
+            raise ValueError("table_override requires tie_embeddings")
+        out_table = (self._out_table() if table_override is None
+                     else table_override)
         if self.loss_type == "full_softmax":
             return xla_ops.full_softmax_loss(
                 h2, out_table.astype(self.compute_dtype), t2, w2, bias=self._bias(),
@@ -235,8 +256,7 @@ class SeqRecModel(nn.Module):
                 out_table, neg_ids, use_pallas=self.use_pallas
             ).astype(self.compute_dtype)
             if self.loss_type == "sampled_softmax":
-                pos_log_q = None
-                if neg_log_q is not None:
+                if pos_log_q is None and neg_log_q is not None:
                     from seqrec_tpu.data.negative import log_uniform_log_prob
 
                     pos_log_q = log_uniform_log_prob(t2, self.vocab_size)

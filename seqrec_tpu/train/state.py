@@ -24,6 +24,10 @@ class TrainState:
     # Session-parallel mode only: per-layer RNN state carried across packed
     # windows (towers.zero_carry pytree); None otherwise.
     carry: Any = None
+    # Sparse-embedding mode only (train.sparse_embedding_update): row-wise
+    # optimizer state for the item table (train/sparse_embed.py); the table
+    # is then excluded from `opt_state`. None otherwise.
+    embed_opt: Any = None
 
 
 def make_schedule(cfg: TrainConfig) -> optax.Schedule:
@@ -41,7 +45,12 @@ def make_schedule(cfg: TrainConfig) -> optax.Schedule:
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig, *,
+                   with_clip: bool = True) -> optax.GradientTransformation:
+    """`with_clip=False` is used by the sparse-embedding path, which clips
+    the GLOBAL norm (tower grads + sub-table grads) manually before handing
+    the tower part to optax — an in-chain clip would see only part of the
+    gradient and double-clip."""
     sched = make_schedule(cfg)
     if cfg.optimizer == "adam":
         opt = optax.adam(sched)
@@ -52,7 +61,7 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     chain = []
-    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+    if with_clip and cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     if cfg.weight_decay and cfg.weight_decay > 0:
         chain.append(optax.add_decayed_weights(cfg.weight_decay))

@@ -43,7 +43,15 @@ class Trainer:
             cfg.model, self.ds.vocab_size, mesh=self.mesh, mesh_cfg=cfg.mesh,
             num_users=self.ds.num_users,
         )
-        self.optimizer = make_optimizer(cfg.train)
+        self._sparse_embed = bool(cfg.train.sparse_embedding_update)
+        if self._sparse_embed:
+            from seqrec_tpu.train import sparse_embed
+
+            sparse_embed.validate_config(cfg)
+        # Sparse mode clips the global norm manually (tower + sub-table
+        # grads together); the optax chain must not clip a second time.
+        self.optimizer = make_optimizer(cfg.train,
+                                        with_clip=not self._sparse_embed)
         self.schedule = make_schedule(cfg.train)
         self.num_devices = self.mesh.size
         local_mesh_devices = sum(
@@ -111,7 +119,21 @@ class Trainer:
             dummy_ids = jnp.zeros((dummy_b, T), jnp.int32)
             dummy_mask = jnp.ones((dummy_b, T), jnp.float32)
             params = self.model.init(rng, dummy_ids, dummy_mask)
-            opt_state = self.optimizer.init(params["params"])
+            embed_opt = None
+            if self._sparse_embed:
+                from seqrec_tpu.train import sparse_embed
+
+                # The table never enters optax: its optimizer state is
+                # row-wise (embed_opt) and its grad is never dense.
+                rest = {k: v for k, v in params["params"].items()
+                        if k != "item_embedding"}
+                opt_state = self.optimizer.init(rest)
+                embed_opt = sparse_embed.init_row_opt(
+                    self.cfg.train.optimizer,
+                    params["params"]["item_embedding"],
+                )
+            else:
+                opt_state = self.optimizer.init(params["params"])
             carry = None
             if self.cfg.data.session_parallel:
                 from seqrec_tpu.models.towers import zero_carry
@@ -127,6 +149,7 @@ class Trainer:
                 opt_state=opt_state,
                 rng=jax.random.key(seed + 1),
                 carry=carry,
+                embed_opt=embed_opt,
             )
 
         abstract = jax.eval_shape(_init, jax.random.key(seed))
@@ -148,6 +171,10 @@ class Trainer:
             )
             if cfg.model.loss != "sampled_softmax":
                 neg_log_q = None  # logQ correction is softmax-specific
+
+        if self._sparse_embed:
+            return self._sparse_step(state, batch, neg_ids, neg_log_q,
+                                     dropout_rng)
 
         if cfg.data.session_parallel:
 
@@ -205,6 +232,93 @@ class Trainer:
             opt_state=new_opt,
             rng=state.rng,
             carry=new_carry,
+        )
+        metrics = {
+            "loss": loss,
+            "tokens": w_sum,
+            "grad_norm": gnorm,
+        }
+        return new_state, metrics
+
+    def _sparse_step(self, state: TrainState, batch, neg_ids, neg_log_q,
+                     dropout_rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """Large-catalog step: no dense [V, D] gradient ever exists. See
+        train/sparse_embed.py for the scheme and its optimizer semantics."""
+        from seqrec_tpu.data.negative import log_uniform_log_prob
+        from seqrec_tpu.train import sparse_embed
+
+        cfg = self.cfg
+        params = state.params["params"]
+        table = params["item_embedding"]
+        rest = {k: v for k, v in params.items() if k != "item_embedding"}
+
+        inputs, targets = batch["inputs"], batch["targets"]
+        ids_all = jnp.concatenate(
+            [inputs.reshape(-1), targets.reshape(-1), neg_ids]
+        )
+        budget = sparse_embed.unique_budget(ids_all.shape[0], table.shape[0])
+        uids = sparse_embed.collect_unique(ids_all, budget)  # [K] sorted
+        sub = table[uids]  # [K, D] — the only table read of the step
+
+        batch_r = dict(batch)
+        batch_r["inputs"] = sparse_embed.remap(uids, inputs)
+        batch_r["targets"] = sparse_embed.remap(uids, targets)
+        neg_ids_r = sparse_embed.remap(uids, neg_ids)
+        pos_log_q = None
+        if cfg.model.loss == "sampled_softmax" and neg_log_q is not None:
+            # logQ must come from ORIGINAL ids; batch_r carries positions.
+            pos_log_q = log_uniform_log_prob(
+                targets.reshape(-1), self.ds.vocab_size
+            )
+
+        def loss_fn(diff):
+            sub_p, rest_p = diff
+            loss_sum, w_sum = self.model.apply(
+                {"params": {**rest_p, "item_embedding": table}},
+                batch_r,
+                neg_ids=neg_ids_r,
+                neg_log_q=neg_log_q,
+                pos_log_q=pos_log_q,
+                deterministic=False,
+                table_override=sub_p,
+                method=self.model.loss,
+                rngs={"dropout": dropout_rng},
+            )
+            return loss_sum / jnp.maximum(w_sum, 1.0), (loss_sum, w_sum)
+
+        (loss, (loss_sum, w_sum)), (g_sub, g_rest) = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )((sub, rest))
+
+        gnorm = optax.global_norm((g_sub, g_rest))
+        clip = cfg.train.grad_clip_norm
+        if clip and clip > 0:
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+            g_sub = g_sub * scale
+            g_rest = jax.tree.map(lambda g: g * scale, g_rest)
+        if cfg.train.debug_nans:
+            g_sub, g_rest = jax.tree.map(
+                lambda g: jax.lax.select(
+                    jnp.isfinite(g).all(), g, jnp.nan_to_num(g)
+                ),
+                (g_sub, g_rest),
+            )
+
+        updates, new_opt = self.optimizer.update(g_rest, state.opt_state, rest)
+        new_rest = optax.apply_updates(rest, updates)
+        lr = self.schedule(state.step)
+        new_table, new_embed_opt = sparse_embed.row_update(
+            cfg.train.optimizer, lr, table, state.embed_opt, uids, g_sub,
+            state.step,
+        )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params={"params": {**new_rest, "item_embedding": new_table}},
+            opt_state=new_opt,
+            rng=state.rng,
+            carry=None,
+            embed_opt=new_embed_opt,
         )
         metrics = {
             "loss": loss,
