@@ -132,6 +132,11 @@ class EvalConfig:
     ks: Tuple[int, ...] = (5, 10, 20)
     batch_size: int = 256
     max_batches: Optional[int] = None
+    # Full protocol on one device: when the [B, V] score matrix would exceed
+    # ~512 MB the harness streams the catalog in blocks of this many items
+    # (eval/chunked.py). None = auto block size; set explicitly to force
+    # chunking (tests) or tune the block.
+    full_chunk_items: Optional[int] = None
     seed: int = 123
 
 

@@ -1,0 +1,80 @@
+"""Chunked full-catalog ranking for large catalogs on a SINGLE device (L6).
+
+The full-protocol metrics need only the target's 0-based rank — the count of
+catalog items scoring strictly higher — never the [B, V] score matrix
+itself. At V=10M, B=256 that matrix is 10 GB; this module streams the
+catalog in fixed blocks through one fori_loop, keeping peak memory at
+[B, chunk] (~268 MB at the default chunk), with semantics identical to
+`ranks_from_scores(mask_scores(full_logits(...)))`:
+
+- strictly-greater counting (ties rank the target first),
+- the pad column and vocab-padding columns (>= num_valid) are excluded,
+- a NaN target score ranks LAST (diverged models must not look perfect).
+
+The row-sharded multi-chip analog is eval/sharded.py; this is the
+single-device (or replicated-table) path used automatically by the eval
+harness when [B, V] would not fit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DEFAULT_CHUNK = 1 << 18  # [256, 262144] f32 block = 268 MB
+
+
+def chunked_ranks(
+    table: jax.Array,  # [V, D] output embedding table
+    h: jax.Array,  # [B, D] query vectors (last hidden states)
+    targets: jax.Array,  # [B] target item ids
+    *,
+    bias: Optional[jax.Array] = None,  # [V]
+    num_valid: Optional[int] = None,  # exclude columns >= num_valid
+    pad_id: int = 0,
+    compute_dtype=jnp.bfloat16,
+    chunk: int = DEFAULT_CHUNK,
+) -> jax.Array:  # [B] int32 0-based ranks
+    V, D = table.shape
+    B = h.shape[0]
+    limit = V if num_valid is None else min(num_valid, V)
+    chunk = min(chunk, V)
+    n_blocks = -(-V // chunk)
+    Vp = n_blocks * chunk
+
+    tbl = jnp.pad(table, ((0, Vp - V), (0, 0)))
+    b = None
+    if bias is not None:
+        b = jnp.pad(bias, (0, Vp - V)).astype(jnp.float32)
+
+    hc = h.astype(compute_dtype)
+    # Target scores through the SAME dtype path as the block matmul.
+    tgt_emb = tbl[targets].astype(compute_dtype)
+    tgt = jnp.einsum("bd,bd->b", hc, tgt_emb).astype(jnp.float32)
+    if b is not None:
+        tgt = tgt + b[targets]
+
+    def body(i, counts):
+        blk = lax.dynamic_slice_in_dim(tbl, i * chunk, chunk)  # [C, D]
+        logits = jnp.einsum(
+            "bd,cd->bc", hc, blk.astype(compute_dtype)
+        ).astype(jnp.float32)
+        cols = i * chunk + jnp.arange(chunk)
+        if b is not None:
+            logits = logits + lax.dynamic_slice_in_dim(b, i * chunk, chunk)
+        col_ok = (cols != pad_id) & (cols < limit)
+        # Exclude the target's own column explicitly: its score here comes
+        # from the block matmul while `tgt` came from a row-wise einsum, and
+        # a last-ulp difference between the two reductions must not count
+        # the target as beating itself.
+        not_self = cols[None, :] != targets[:, None]
+        gt = logits > tgt[:, None]
+        return counts + jnp.sum(
+            (gt & col_ok[None, :] & not_self).astype(jnp.int32), axis=-1
+        )
+
+    counts = lax.fori_loop(0, n_blocks, body, jnp.zeros((B,), jnp.int32))
+    return jnp.where(jnp.isnan(tgt), limit, counts)

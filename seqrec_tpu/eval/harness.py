@@ -72,12 +72,18 @@ def evaluate(
         and getattr(model, "shard_embeddings", False)
         and mesh.shape.get("model", 1) > 1
     )
+    # Single-device large catalogs: stream the catalog in blocks instead of
+    # materializing [B, V] (eval/chunked.py; 10M items x B=256 would be
+    # 10 GB). Auto-on past ~512 MB, or forced via eval.full_chunk_items.
+    table_rows = getattr(model, "table_size", None) or model.vocab_size
+    use_chunked = not use_sharded and (
+        eval_cfg.full_chunk_items is not None
+        or 4 * B * table_rows > (512 << 20)
+    )
 
     @jax.jit
     def step_full(params, batch):
-        if use_sharded:
-            from seqrec_tpu.eval.sharded import sharded_ranks
-
+        if use_sharded or use_chunked:
             h_last = model.apply(
                 params, batch["inputs"], batch["mask"],
                 users=batch.get("users"),
@@ -85,10 +91,22 @@ def evaluate(
             )
             table = model.apply(params, method=model.output_table)
             bias = model.apply(params, method=model.output_bias_value)
-            ranks = sharded_ranks(
-                table, h_last.astype(jnp.float32), batch["target"], mesh,
-                bias=bias, num_valid=model.vocab_size,
-            )
+            if use_sharded:
+                from seqrec_tpu.eval.sharded import sharded_ranks
+
+                ranks = sharded_ranks(
+                    table, h_last.astype(jnp.float32), batch["target"], mesh,
+                    bias=bias, num_valid=model.vocab_size,
+                )
+            else:
+                from seqrec_tpu.eval.chunked import DEFAULT_CHUNK, chunked_ranks
+
+                ranks = chunked_ranks(
+                    table, h_last, batch["target"], bias=bias,
+                    num_valid=model.vocab_size,
+                    compute_dtype=model.compute_dtype,
+                    chunk=eval_cfg.full_chunk_items or DEFAULT_CHUNK,
+                )
             return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
         scores = model.apply(
             params, batch["inputs"], batch["mask"],
