@@ -108,3 +108,35 @@ def test_bucketed_training(tiny_ds, tmp_path):
     tr = Trainer(cfg, ds=tiny_ds)
     state, _ = tr.fit()
     assert int(jax.device_get(state.step)) == 30
+
+
+def test_sparse_checkpoint_resume_bitwise(tiny_ds, tmp_path):
+    """Sparse-embedding mode: embed_opt (row-wise optimizer state) must
+    round-trip through orbax so crash+resume matches a straight run."""
+
+    def sparse_cfg(out, **kw):
+        cfg = _cfg(out, **kw)
+        cfg.model.loss = "sampled_softmax"
+        cfg.model.num_negatives = 32
+        cfg.train.optimizer = "adagrad"
+        cfg.train.sparse_embedding_update = True
+        return cfg
+
+    cfg_a = sparse_cfg(tmp_path / "sa", num_steps=40)
+    state_a, _ = Trainer(cfg_a, ds=tiny_ds).fit()
+
+    cfg_b = sparse_cfg(tmp_path / "sb", num_steps=40, checkpoint_every=20,
+                       fail_after_step=20)
+    Trainer(cfg_b, ds=tiny_ds).fit()  # exits at step 20 via fault injection
+
+    cfg_b2 = sparse_cfg(tmp_path / "sb", num_steps=40, checkpoint_every=20,
+                        resume=True)
+    state_b, _ = Trainer(cfg_b2, ds=tiny_ds).fit()
+
+    assert int(jax.device_get(state_b.step)) == 40
+    for xa, xb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    for xa, xb in zip(jax.tree.leaves(state_a.embed_opt),
+                      jax.tree.leaves(state_b.embed_opt)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

@@ -96,3 +96,44 @@ def test_sharded_embedding_trainer(tiny_ds, tmp_path):
     emb = state.params["params"]["item_embedding"]
     spec = emb.sharding.spec
     assert spec[0] == "model"
+
+
+def test_sparse_embed_trainer_runs_on_dp_mesh(tiny_ds, tmp_path):
+    """Sparse embedding updates under pure DP: the global-batch unique /
+    remap / scatter must compile and run with batches sharded over 8 fake
+    devices (XLA gathers the ids for the global unique), and match the
+    single-device sparse run's loss on the same global batch stream."""
+    from seqrec_tpu.train.trainer import Trainer
+
+    def run(mesh_devices):
+        cfg = RunConfig()
+        cfg.model.embed_dim = 16
+        cfg.model.use_pallas = False
+        cfg.model.compute_dtype = "float32"
+        cfg.model.loss = "sampled_softmax"
+        cfg.model.num_negatives = 16
+        cfg.model.dropout_rate = 0.0
+        cfg.data.batch_size = 16 // mesh_devices  # global 16 either way
+        cfg.data.max_len = 10
+        cfg.train.num_steps = 3
+        cfg.train.log_every = 100
+        cfg.train.eval_every = 0
+        cfg.train.checkpoint_every = 0
+        cfg.train.optimizer = "adagrad"
+        cfg.train.sparse_embedding_update = True
+        cfg.train.out_dir = str(tmp_path / f"sp{mesh_devices}")
+        mesh = make_mesh(1, devices=jax.devices()[:mesh_devices])
+        tr = Trainer(cfg, ds=tiny_ds, mesh=mesh)
+        state = tr.init_state()
+        losses = []
+        it = tr.train_iterator()
+        for _ in range(3):
+            _, batch = next(it)
+            state, m = tr._train_step(state, tr.put_batch(batch))
+            losses.append(float(m["loss"]))
+        return losses
+
+    l8 = run(8)
+    l1 = run(1)
+    assert all(np.isfinite(l8))
+    np.testing.assert_allclose(l8, l1, rtol=1e-4)
