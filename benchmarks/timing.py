@@ -62,8 +62,13 @@ def chain_slope_ms(
     Returns (best_slope_ms, detail).
     """
     times = {n_short: [], n_long: []}
+    c = None
     for _ in range(reps):
         for n in (n_short, n_long):
+            # Release the previous chain's carry BEFORE seeding the next —
+            # holding both doubles peak memory, which matters when the carry
+            # is a multi-GB train state (10M-item sparse config).
+            c = None
             c = step(seed(), 0)  # warm compile + drain marker
             fetch_scalar(c)  # queue is now empty
             t0 = time.perf_counter()
