@@ -17,7 +17,7 @@ from typing import List
 
 import jax
 
-from benchmarks.throughput import bench_config, run_benchmark
+from benchmarks.throughput import bench_config
 from seqrec_tpu.runtime import make_mesh
 
 

@@ -43,29 +43,30 @@ def chunked_ranks(
     limit = V if num_valid is None else min(num_valid, V)
     chunk = min(chunk, V)
     n_blocks = -(-V // chunk)
-    Vp = n_blocks * chunk
 
-    tbl = jnp.pad(table, ((0, Vp - V), (0, 0)))
-    b = None
-    if bias is not None:
-        b = jnp.pad(bias, (0, Vp - V)).astype(jnp.float32)
+    # No padded table copy: at V=10M the [V, D] table is multiple GB and a
+    # second copy would defeat this module's purpose. The ragged tail block
+    # instead slices at a CLAMPED start (overlapping the previous block) and
+    # a block-ownership mask drops the overlap from the count.
+    b = None if bias is None else bias.astype(jnp.float32)
 
     hc = h.astype(compute_dtype)
     # Target scores through the SAME dtype path as the block matmul.
-    tgt_emb = tbl[targets].astype(compute_dtype)
+    tgt_emb = table[targets].astype(compute_dtype)
     tgt = jnp.einsum("bd,bd->b", hc, tgt_emb).astype(jnp.float32)
     if b is not None:
         tgt = tgt + b[targets]
 
     def body(i, counts):
-        blk = lax.dynamic_slice_in_dim(tbl, i * chunk, chunk)  # [C, D]
+        start = jnp.minimum(i * chunk, V - chunk)
+        blk = lax.dynamic_slice_in_dim(table, start, chunk)  # [C, D]
         logits = jnp.einsum(
             "bd,cd->bc", hc, blk.astype(compute_dtype)
         ).astype(jnp.float32)
-        cols = i * chunk + jnp.arange(chunk)
+        cols = start + jnp.arange(chunk)
         if b is not None:
-            logits = logits + lax.dynamic_slice_in_dim(b, i * chunk, chunk)
-        col_ok = (cols != pad_id) & (cols < limit)
+            logits = logits + lax.dynamic_slice_in_dim(b, start, chunk)
+        col_ok = (cols >= i * chunk) & (cols != pad_id) & (cols < limit)
         # Exclude the target's own column explicitly: its score here comes
         # from the block matmul while `tgt` came from a row-wise einsum, and
         # a last-ulp difference between the two reductions must not count

@@ -46,7 +46,9 @@ def supported(q: jax.Array) -> bool:
     # default. The kernel stays parity-tested as the blockwise/ring-attention
     # seam (SURVEY.md §5.7); opt in via SEQREC_ENABLE_PALLAS_ATTN=1 to
     # re-evaluate on other hardware or at much longer T.
-    if not os.environ.get("SEQREC_ENABLE_PALLAS_ATTN"):
+    if os.environ.get("SEQREC_ENABLE_PALLAS_ATTN", "").lower() not in (
+        "1", "true", "yes",
+    ):
         return False
     return Dh % 8 == 0 and Dh <= 256 and T >= 2 * BQ
 

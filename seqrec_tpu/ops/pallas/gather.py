@@ -41,7 +41,9 @@ def supported(table: jax.Array, ids: jax.Array) -> bool:
     # lookup's local-gather stage); opt in via SEQREC_ENABLE_PALLAS_GATHER=1
     # to re-evaluate on other hardware. D % 128 is a hard Mosaic constraint
     # (HBM row slices must be lane-tile aligned), not a tuning choice.
-    if not os.environ.get("SEQREC_ENABLE_PALLAS_GATHER"):
+    if os.environ.get("SEQREC_ENABLE_PALLAS_GATHER", "").lower() not in (
+        "1", "true", "yes",
+    ):
         return False
     return D % 128 == 0 and D >= 512 and n >= ROWS_PER_STEP
 

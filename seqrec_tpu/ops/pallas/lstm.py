@@ -309,8 +309,12 @@ def lstm_scan(
     into the kernel, analytic BPTT accounts for the pre-step zeroing).
 
     The final cell state is recomputed from the saved h's in one batched
-    matmul + cheap scan (the kernel saves only h's); XLA dead-code-eliminates
-    it when the caller drops c_last.
+    matmul + cheap scan (the kernel saves only h's). The recompute is
+    DIFFERENTIABLE — ys carries the kernel's analytic VJP, so autodiff
+    through the recompute yields the oracle's c_last gradients by the chain
+    rule — and XLA dead-code-eliminates the whole recompute (forward and
+    backward) when the caller drops c_last or stop-gradients it, which is
+    what the TBPTT trainer does with the carry.
 
     Sub-f32 inputs are upcast to f32 for the kernel and cast back on the way
     out — same rationale as gru_scan: the scan is latency-bound and bf16
@@ -325,13 +329,10 @@ def lstm_scan(
     ys = _lstm_core(x, h0.astype(dtype), c0.astype(dtype),
                     w_x.astype(dtype), w_h.astype(dtype), b_c, reset_mask,
                     interpret)
-    # c_last via the batched recompute (stop_gradient: it re-derives from ys).
-    x_proj = jnp.einsum("btd,dh->bth", lax.stop_gradient(x),
-                        lax.stop_gradient(w_x).astype(dtype)) + b_c
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype)) + b_c
     cs = _recompute_cells(
-        x_proj, lax.stop_gradient(ys), lax.stop_gradient(h0),
-        lax.stop_gradient(c0), lax.stop_gradient(w_h).astype(dtype),
-        reset_mask,
+        x_proj, ys, h0.astype(dtype), c0.astype(dtype),
+        w_h.astype(dtype), reset_mask,
     )
     ys = ys.astype(in_dtype)
     return ys, (ys[:, -1], cs[:, -1].astype(in_dtype))

@@ -109,6 +109,14 @@ class Trainer:
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
+        # Cache the compiled init per seed: benchmarks reseed fresh states
+        # repeatedly (donated args), and a fresh jax.jit wrapper per call
+        # would recompile the multi-second init program every time.
+        cache = getattr(self, "_init_cache", None)
+        if cache is None:
+            cache = self._init_cache = {}
+        if seed in cache:
+            return cache[seed](jax.random.key(seed))
         T = self.cfg.data.buckets[0] if self.cfg.data.buckets else self.cfg.data.max_len
 
         # Dummy batch leading dim must divide the mesh (sharded lookup uses
@@ -154,7 +162,8 @@ class Trainer:
 
         abstract = jax.eval_shape(_init, jax.random.key(seed))
         shardings = self.state_sharding(abstract)
-        return jax.jit(_init, out_shardings=shardings)(jax.random.key(seed))
+        cache[seed] = jax.jit(_init, out_shardings=shardings)
+        return cache[seed](jax.random.key(seed))
 
     # ---- the compiled step ----------------------------------------------
 

@@ -172,3 +172,28 @@ def test_bfloat16_inputs_upcast_and_match():
     np.testing.assert_allclose(
         np.asarray(ys_pl, np.float32), np.asarray(ys_ref), rtol=0.05, atol=0.05
     )
+
+
+def test_c_last_gradients_match_oracle():
+    """c_last must be differentiable through the batched recompute — its
+    gradients come from the chain rule through ys's analytic VJP and must
+    match the XLA oracle (a stop_gradient bug here once zeroed dW entirely
+    while leaking a spurious bias gradient)."""
+    x, h0, c0, w_x, w_h, b = _inputs(B=4, T=6, D=8, H=16)
+
+    def c_loss(fn):
+        def g(w_x_, w_h_, b_):
+            _, (_, c_last) = fn(x, h0, c0, w_x_, w_h_, b_)
+            return jnp.sum(c_last ** 2)
+        return jax.grad(g, argnums=(0, 1, 2))
+
+    g_ref = c_loss(xla_ops.lstm_scan)(w_x, w_h, b)
+    g_pl = c_loss(
+        lambda *a: pl_lstm.lstm_scan(*a, interpret=True)
+    )(w_x, w_h, b)
+    for a, bb, name in zip(g_pl, g_ref, ["w_x", "w_h", "b"]):
+        assert float(jnp.max(jnp.abs(bb))) > 0.0  # oracle grad is nonzero
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-4,
+            err_msg=f"c_last grad mismatch: {name}",
+        )
