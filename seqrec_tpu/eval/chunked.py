@@ -79,3 +79,57 @@ def chunked_ranks(
 
     counts = lax.fori_loop(0, n_blocks, body, jnp.zeros((B,), jnp.int32))
     return jnp.where(jnp.isnan(tgt), limit, counts)
+
+
+def chunked_topk(
+    table: jax.Array,  # [V, D]
+    h: jax.Array,  # [B, D]
+    k: int,
+    *,
+    bias: Optional[jax.Array] = None,  # [V]
+    num_valid: Optional[int] = None,
+    pad_id: int = 0,
+    compute_dtype=jnp.bfloat16,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Top-k (values, item ids) over the full catalog without [B, V]:
+    per-block top-k merged into a running top-k (serving/batch-inference
+    analog of chunked_ranks; eval/sharded.py::sharded_topk is the
+    row-sharded counterpart). Blocks stream in ascending id order and the
+    merge concatenates the running set first, so ties resolve to the lowest
+    item id exactly like a dense lax.top_k."""
+    V, D = table.shape
+    B = h.shape[0]
+    limit = V if num_valid is None else min(num_valid, V)
+    chunk = max(min(chunk, V), k)
+    n_blocks = -(-V // chunk)
+    b = None if bias is None else bias.astype(jnp.float32)
+    hc = h.astype(compute_dtype)
+
+    def body(i, carry):
+        vals, ids = carry
+        start = jnp.minimum(i * chunk, V - chunk)
+        blk = lax.dynamic_slice_in_dim(table, start, chunk)
+        logits = jnp.einsum(
+            "bd,cd->bc", hc, blk.astype(compute_dtype)
+        ).astype(jnp.float32)
+        cols = start + jnp.arange(chunk)
+        if b is not None:
+            logits = logits + lax.dynamic_slice_in_dim(b, start, chunk)
+        col_ok = (cols >= i * chunk) & (cols != pad_id) & (cols < limit)
+        logits = jnp.where(col_ok[None, :], logits, -jnp.inf)
+        bvals, bidx = lax.top_k(logits, k)  # [B, k]
+        bids = (start + bidx).astype(jnp.int32)
+        mvals, midx = lax.top_k(
+            jnp.concatenate([vals, bvals], axis=-1), k
+        )
+        mids = jnp.take_along_axis(
+            jnp.concatenate([ids, bids], axis=-1), midx, axis=-1
+        )
+        return mvals, mids
+
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.zeros((B, k), jnp.int32),
+    )
+    return lax.fori_loop(0, n_blocks, body, init)

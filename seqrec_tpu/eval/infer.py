@@ -18,6 +18,10 @@ import numpy as np
 
 from seqrec_tpu.eval.metrics import mask_scores
 
+# Auto-switch to blockwise top-k when [B, V] scores would exceed this many
+# bytes (same rule as the eval harness). Module-level so tests can shrink it.
+CHUNK_THRESHOLD_BYTES = 512 << 20
+
 
 def _pack(
     histories: Sequence[Sequence[int]],
@@ -54,22 +58,35 @@ def recommend(
         and getattr(model, "shard_embeddings", False)
         and mesh.shape.get("model", 1) > 1
     )
+    # Large single-device catalogs: stream blockwise top-k instead of
+    # materializing [B, V] scores (same auto rule as the eval harness).
+    table_rows = getattr(model, "table_size", None) or model.vocab_size
+    use_chunked = (not use_sharded
+                   and 4 * batch_size * table_rows > CHUNK_THRESHOLD_BYTES)
     # Over-fetch so host-side history exclusion cannot empty the list.
     fetch_k = min(k + (max_len if exclude_history else 0),
                   model.vocab_size - 1)
 
     @jax.jit
     def step(params, inputs, mask, users):
-        if use_sharded:
-            from seqrec_tpu.eval.sharded import sharded_topk
-
+        if use_sharded or use_chunked:
             h_last = model.apply(params, inputs, mask, users=users,
                                  method=model.last_hidden)
             table = model.apply(params, method=model.output_table)
             bias = model.apply(params, method=model.output_bias_value)
-            return sharded_topk(
-                table, h_last.astype(jnp.float32), fetch_k, mesh, bias=bias,
+            if use_sharded:
+                from seqrec_tpu.eval.sharded import sharded_topk
+
+                return sharded_topk(
+                    table, h_last.astype(jnp.float32), fetch_k, mesh,
+                    bias=bias, num_valid=model.vocab_size,
+                )
+            from seqrec_tpu.eval.chunked import chunked_topk
+
+            return chunked_topk(
+                table, h_last, fetch_k, bias=bias,
                 num_valid=model.vocab_size,
+                compute_dtype=model.compute_dtype,
             )
         scores = model.apply(params, inputs, mask, users=users,
                              method=model.scores)

@@ -76,3 +76,62 @@ def test_evaluate_full_chunked_matches_unchunked():
     for k, v in base.items():
         np.testing.assert_allclose(chunked[k], v, rtol=1e-6,
                                    err_msg=f"metric {k} diverged")
+
+
+def test_chunked_topk_matches_dense():
+    from seqrec_tpu.eval.chunked import chunked_topk
+
+    rng = np.random.default_rng(3)
+    V, D, B, k = 500, 16, 8, 12
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    num_valid = 450
+
+    scores = full_logits(h, table, bias).astype(jnp.float32)
+    cols = jnp.arange(V)
+    scores = jnp.where(cols[None] < num_valid, scores, -jnp.inf)
+    scores = mask_scores(scores)
+    dv, di = jax.lax.top_k(scores, k)
+
+    # chunk=123 does not divide V: exercises the clamped tail block.
+    cv, ci = chunked_topk(table, h, k, bias=bias, num_valid=num_valid,
+                          compute_dtype=jnp.float32, chunk=123)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(dv), rtol=1e-6)
+
+
+def test_recommend_chunked_path_matches_dense(monkeypatch):
+    """Force the chunked auto-rule on and check recommend() output parity."""
+    import seqrec_tpu.eval.infer as infer_mod
+
+    cfg = RunConfig()
+    cfg.model.embed_dim = 16
+    cfg.model.max_len = 10
+    cfg.model.dropout_rate = 0.0
+    cfg.model.use_pallas = False
+    cfg.model.compute_dtype = "float32"
+    cfg.data.batch_size = 4
+    cfg.data.max_len = 10
+    cfg.train.out_dir = ""
+    ds = synthetic_dataset(num_users=30, num_items=300, seed=1, min_len=4,
+                           max_len=11)
+    tr = Trainer(cfg, ds=ds)
+    state = tr.init_state()
+    histories = [{"user": 0, "history": [3, 5, 9]},
+                 {"user": 1, "history": [20, 7]}]
+
+    dense = list(infer_mod.recommend(tr.model, state.params, histories, k=5,
+                                     batch_size=4, max_len=10))
+    # Shrink the auto threshold so this tiny catalog takes the chunked
+    # branch, with an awkward block size that does not divide the vocab.
+    import seqrec_tpu.eval.chunked as chunked_mod
+
+    monkeypatch.setattr(infer_mod, "CHUNK_THRESHOLD_BYTES", 0)
+    monkeypatch.setattr(chunked_mod, "DEFAULT_CHUNK", 97)
+    chunked = list(infer_mod.recommend(tr.model, state.params, histories,
+                                       k=5, batch_size=4, max_len=10))
+    assert len(dense) == len(chunked) == 2
+    for a, b in zip(dense, chunked):
+        assert a["items"] == b["items"]
+        np.testing.assert_allclose(a["scores"], b["scores"], rtol=1e-6)
