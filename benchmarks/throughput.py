@@ -64,20 +64,23 @@ def run_benchmark(
     step_ms, detail = chain_slope_ms(
         step, tr.init_state, n_short=steps, n_long=3 * steps
     )
-    dt_s = max(step_ms, 1e-6) / 1e3
+    finite = np.isfinite(step_ms) and step_ms > 0
+    eps = tr.global_batch / (step_ms / 1e3) if finite else 0.0
 
     n_dev = tr.num_devices
-    eps = tr.global_batch / dt_s
     return {
         "steps": steps,
         "global_batch": tr.global_batch,
         "seq_len": cfg.data.max_len,
         "num_devices": n_dev,
-        "step_time_ms": step_ms,
+        "step_time_ms": step_ms if finite else float("nan"),
         "examples_per_s": eps,
         "examples_per_s_per_chip": eps / n_dev,
         "chain_short_s": detail["chain_short_s"],
         "chain_long_s": detail["chain_long_s"],
+        # False when the long/short wall-time gap is inside relay drift —
+        # rerun with more `steps` before trusting the number.
+        "reliable": detail["reliable"],
         "warmup_s": warmup_s,
         "backend": jax.default_backend(),
     }

@@ -76,12 +76,26 @@ def chain_slope_ms(
                 c = step(c, i + 1)
             fetch_scalar(c)
             times[n].append(time.perf_counter() - t0)
-    t_s, t_l = min(times[n_short]), min(times[n_long])
-    slope = (t_l - t_s) / (n_long - n_short) * 1e3
+    # Pair each rep's (short, long) measured back-to-back: relay round-trip
+    # latency drifts over minutes, and mixing the min-short of one moment
+    # with the min-long of another can even make the slope NEGATIVE when
+    # chains are much shorter than the drift (seen with 20/60-step chains
+    # of a sub-ms model). Take the best per-rep slope that is positive.
+    slopes = [
+        (times[n_long][r] - times[n_short][r]) / (n_long - n_short) * 1e3
+        for r in range(reps)
+    ]
+    positive = [s for s in slopes if s > 0]
+    slope = min(positive) if positive else float("nan")
+    # Signal strength: the long/short difference should dwarf drift (~10 ms
+    # scale on this relay); below that, the number is noise.
+    best_r = slopes.index(slope) if positive else 0
+    diff_s = times[n_long][best_r] - times[n_short][best_r]
     return slope, {
-        "chain_short_s": t_s,
-        "chain_long_s": t_l,
+        "chain_short_s": times[n_short][best_r],
+        "chain_long_s": times[n_long][best_r],
         "n_short": n_short,
         "n_long": n_long,
         "reps": reps,
+        "reliable": bool(positive) and diff_s > 0.05,
     }
