@@ -26,6 +26,10 @@ from jax import lax
 
 DEFAULT_CHUNK = 1 << 18  # [256, 262144] f32 block = 268 MB
 
+# Callers auto-switch to the blockwise paths when [B, V] scores would exceed
+# this many bytes. Module-level so tests can shrink it.
+CHUNK_THRESHOLD_BYTES = 512 << 20
+
 
 def chunked_ranks(
     table: jax.Array,  # [V, D] output embedding table

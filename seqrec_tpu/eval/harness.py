@@ -75,7 +75,7 @@ def evaluate(
     # Single-device large catalogs: stream the catalog in blocks instead of
     # materializing [B, V] (eval/chunked.py; 10M items x B=256 would be
     # 10 GB). Auto-on past ~512 MB, or forced via eval.full_chunk_items.
-    from seqrec_tpu.eval.infer import CHUNK_THRESHOLD_BYTES
+    from seqrec_tpu.eval.chunked import CHUNK_THRESHOLD_BYTES
 
     table_rows = getattr(model, "table_size", None) or model.vocab_size
     use_chunked = not use_sharded and (

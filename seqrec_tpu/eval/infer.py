@@ -16,11 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from seqrec_tpu.eval.chunked import CHUNK_THRESHOLD_BYTES
 from seqrec_tpu.eval.metrics import mask_scores
-
-# Auto-switch to blockwise top-k when [B, V] scores would exceed this many
-# bytes (same rule as the eval harness). Module-level so tests can shrink it.
-CHUNK_THRESHOLD_BYTES = 512 << 20
 
 
 def _pack(
