@@ -68,6 +68,20 @@ def main() -> int:
     final_loss = float(jax.device_get(m["loss"]))
     assert np.isfinite(final_loss), final_loss
 
+    # Sparse-embedding step across the process boundary: the global-batch
+    # unique/remap/scatter must run over DCN-connected fake devices too.
+    cfg_sp = RunConfig.from_dict(json.loads(cfg.to_json()))
+    cfg_sp.model.loss = "sampled_softmax"
+    cfg_sp.model.num_negatives = 16
+    cfg_sp.train.optimizer = "adagrad"
+    cfg_sp.train.sparse_embedding_update = True
+    tr_sp = Trainer(cfg_sp, ds=ds)
+    state_sp = tr_sp.init_state()
+    _, batch_sp = next(tr_sp.train_iterator())
+    _, m_sp = tr_sp._train_step(state_sp, tr_sp.put_batch(batch_sp))
+    sparse_loss = float(jax.device_get(m_sp["loss"]))
+    assert np.isfinite(sparse_loss), sparse_loss
+
     if pid == 0 or nproc == 1:
         with open(out_path, "w") as f:
             json.dump(
