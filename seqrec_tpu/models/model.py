@@ -182,7 +182,8 @@ class SeqRecModel(nn.Module):
         neg_log_q: Optional[jax.Array] = None,  # [S]
         pos_log_q: Optional[jax.Array] = None,  # [B*T]; see _head_loss
         deterministic: bool = False,
-        table_override=None,  # [K, D] sub-table; see encode
+        table_override=None,  # [K, D] input sub-table; see encode
+        out_table_override=None,  # [K2, H] output sub-table (untied sparse)
     ):
         """Masked training loss. Returns (sum_loss, sum_weight)."""
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
@@ -191,7 +192,8 @@ class SeqRecModel(nn.Module):
                         table_override=table_override)
         return self._head_loss(h, targets, mask, neg_ids, neg_log_q,
                                pos_log_q=pos_log_q,
-                               table_override=table_override)
+                               table_override=table_override,
+                               out_table_override=out_table_override)
 
     def loss_stream(
         self,
@@ -227,22 +229,31 @@ class SeqRecModel(nn.Module):
         return loss_sum, w_sum, new_carry
 
     def _head_loss(self, h, targets, mask, neg_ids, neg_log_q,
-                   pos_log_q=None, table_override=None):
+                   pos_log_q=None, table_override=None,
+                   out_table_override=None):
         """`pos_log_q` override exists for the sparse-embedding trainer path,
         which remaps ids to sub-table positions before apply — the logQ
         correction must be computed from the ORIGINAL ids, so the trainer
         passes it in precomputed (train/sparse_embed.py). `table_override`
-        likewise substitutes the [K, D] sub-table for the tied output table
-        (sparse mode requires tie_embeddings)."""
+        likewise substitutes the input sub-table (reused for the output side
+        when embeddings are tied); `out_table_override` substitutes an
+        independently-remapped output sub-table in the untied case (targets
+        and neg_ids are then positions into IT, not into table_override)."""
         B, T, H = h.shape
         h2 = h.reshape(B * T, H)
         t2 = targets.reshape(B * T)
         w2 = mask.reshape(B * T).astype(jnp.float32)
 
-        if table_override is not None and not self.tie_embeddings:
-            raise ValueError("table_override requires tie_embeddings")
-        out_table = (self._out_table() if table_override is None
-                     else table_override)
+        if out_table_override is not None:
+            out_table = out_table_override
+        elif table_override is not None:
+            if not self.tie_embeddings:
+                raise ValueError(
+                    "untied output table needs out_table_override"
+                )
+            out_table = table_override
+        else:
+            out_table = self._out_table()
         if self.loss_type == "full_softmax":
             return xla_ops.full_softmax_loss(
                 h2, out_table.astype(self.compute_dtype), t2, w2, bias=self._bias(),

@@ -161,8 +161,6 @@ def validate_config(cfg) -> None:
             f"loss {cfg.model.loss!r} needs the full table every step; "
             f"sparse updates require one of {SAMPLED_LOSSES}"
         )
-    if not cfg.model.tie_embeddings:
-        problems.append("untied output embeddings are not supported yet")
     if cfg.mesh.shard_embeddings:
         problems.append("row-sharded tables already avoid the dense-grad "
                         "blowup per shard; combine later")

@@ -131,15 +131,18 @@ class Trainer:
             if self._sparse_embed:
                 from seqrec_tpu.train import sparse_embed
 
-                # The table never enters optax: its optimizer state is
-                # row-wise (embed_opt) and its grad is never dense.
+                # The big tables never enter optax: their optimizer state is
+                # row-wise (embed_opt) and their grads are never dense.
+                names = self._sparse_table_names()
                 rest = {k: v for k, v in params["params"].items()
-                        if k != "item_embedding"}
+                        if k not in names}
                 opt_state = self.optimizer.init(rest)
-                embed_opt = sparse_embed.init_row_opt(
-                    self.cfg.train.optimizer,
-                    params["params"]["item_embedding"],
-                )
+                embed_opt = {
+                    n: sparse_embed.init_row_opt(
+                        self.cfg.train.optimizer, params["params"][n]
+                    )
+                    for n in names
+                }
             else:
                 opt_state = self.optimizer.init(params["params"])
             carry = None
@@ -249,30 +252,52 @@ class Trainer:
         }
         return new_state, metrics
 
+    def _sparse_table_names(self):
+        names = ["item_embedding"]
+        if not self.cfg.model.tie_embeddings:
+            names.append("output_embedding")
+        return names
+
     def _sparse_step(self, state: TrainState, batch, neg_ids, neg_log_q,
                      dropout_rng) -> Tuple[TrainState, Dict[str, jax.Array]]:
         """Large-catalog step: no dense [V, D] gradient ever exists. See
-        train/sparse_embed.py for the scheme and its optimizer semantics."""
+        train/sparse_embed.py for the scheme and its optimizer semantics.
+
+        Tied embeddings: ONE unique set covers inputs + targets + negatives.
+        Untied: the input table's set covers inputs; the output table gets
+        its own set (targets + negatives) and its own sub-table override."""
         from seqrec_tpu.data.negative import log_uniform_log_prob
         from seqrec_tpu.train import sparse_embed
 
         cfg = self.cfg
+        tied = cfg.model.tie_embeddings
         params = state.params["params"]
-        table = params["item_embedding"]
-        rest = {k: v for k, v in params.items() if k != "item_embedding"}
+        names = self._sparse_table_names()
+        tables = {n: params[n] for n in names}
+        rest = {k: v for k, v in params.items() if k not in names}
 
         inputs, targets = batch["inputs"], batch["targets"]
-        ids_all = jnp.concatenate(
-            [inputs.reshape(-1), targets.reshape(-1), neg_ids]
+        out_ids = jnp.concatenate([targets.reshape(-1), neg_ids])
+        in_ids = (jnp.concatenate([inputs.reshape(-1), out_ids])
+                  if tied else inputs.reshape(-1))
+        rows = tables["item_embedding"].shape[0]
+        uids_in = sparse_embed.collect_unique(
+            in_ids, sparse_embed.unique_budget(in_ids.shape[0], rows)
         )
-        budget = sparse_embed.unique_budget(ids_all.shape[0], table.shape[0])
-        uids = sparse_embed.collect_unique(ids_all, budget)  # [K] sorted
-        sub = table[uids]  # [K, D] — the only table read of the step
+        subs = {"in": tables["item_embedding"][uids_in]}
+        if tied:
+            uids_out = uids_in
+        else:
+            uids_out = sparse_embed.collect_unique(
+                out_ids,
+                sparse_embed.unique_budget(out_ids.shape[0], rows),
+            )
+            subs["out"] = tables["output_embedding"][uids_out]
 
         batch_r = dict(batch)
-        batch_r["inputs"] = sparse_embed.remap(uids, inputs)
-        batch_r["targets"] = sparse_embed.remap(uids, targets)
-        neg_ids_r = sparse_embed.remap(uids, neg_ids)
+        batch_r["inputs"] = sparse_embed.remap(uids_in, inputs)
+        batch_r["targets"] = sparse_embed.remap(uids_out, targets)
+        neg_ids_r = sparse_embed.remap(uids_out, neg_ids)
         pos_log_q = None
         if cfg.model.loss == "sampled_softmax" and neg_log_q is not None:
             # logQ must come from ORIGINAL ids; batch_r carries positions.
@@ -281,49 +306,56 @@ class Trainer:
             )
 
         def loss_fn(diff):
-            sub_p, rest_p = diff
+            subs_p, rest_p = diff
             loss_sum, w_sum = self.model.apply(
-                {"params": {**rest_p, "item_embedding": table}},
+                {"params": {**rest_p, **tables}},
                 batch_r,
                 neg_ids=neg_ids_r,
                 neg_log_q=neg_log_q,
                 pos_log_q=pos_log_q,
                 deterministic=False,
-                table_override=sub_p,
+                table_override=subs_p["in"],
+                out_table_override=None if tied else subs_p["out"],
                 method=self.model.loss,
                 rngs={"dropout": dropout_rng},
             )
             return loss_sum / jnp.maximum(w_sum, 1.0), (loss_sum, w_sum)
 
-        (loss, (loss_sum, w_sum)), (g_sub, g_rest) = jax.value_and_grad(
+        (loss, (loss_sum, w_sum)), (g_subs, g_rest) = jax.value_and_grad(
             loss_fn, has_aux=True
-        )((sub, rest))
+        )((subs, rest))
 
-        gnorm = optax.global_norm((g_sub, g_rest))
+        gnorm = optax.global_norm((g_subs, g_rest))
         clip = cfg.train.grad_clip_norm
         if clip and clip > 0:
             scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
-            g_sub = g_sub * scale
+            g_subs = jax.tree.map(lambda g: g * scale, g_subs)
             g_rest = jax.tree.map(lambda g: g * scale, g_rest)
         if cfg.train.debug_nans:
-            g_sub, g_rest = jax.tree.map(
+            g_subs, g_rest = jax.tree.map(
                 lambda g: jax.lax.select(
                     jnp.isfinite(g).all(), g, jnp.nan_to_num(g)
                 ),
-                (g_sub, g_rest),
+                (g_subs, g_rest),
             )
 
         updates, new_opt = self.optimizer.update(g_rest, state.opt_state, rest)
         new_rest = optax.apply_updates(rest, updates)
         lr = self.schedule(state.step)
-        new_table, new_embed_opt = sparse_embed.row_update(
-            cfg.train.optimizer, lr, table, state.embed_opt, uids, g_sub,
-            state.step,
-        )
+        new_tables = {}
+        new_embed_opt = {}
+        per_table = [("item_embedding", uids_in, g_subs["in"])]
+        if not tied:
+            per_table.append(("output_embedding", uids_out, g_subs["out"]))
+        for name, uids, g in per_table:
+            new_tables[name], new_embed_opt[name] = sparse_embed.row_update(
+                cfg.train.optimizer, lr, tables[name],
+                state.embed_opt[name], uids, g, state.step,
+            )
 
         new_state = TrainState(
             step=state.step + 1,
-            params={"params": {**new_rest, "item_embedding": new_table}},
+            params={"params": {**new_rest, **new_tables}},
             opt_state=new_opt,
             rng=state.rng,
             carry=None,

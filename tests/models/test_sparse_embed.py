@@ -124,3 +124,26 @@ def test_remap_leftmost_on_duplicates():
     ids = jnp.array([5, 0, 2], jnp.int32)
     np.testing.assert_array_equal(
         np.asarray(sparse_embed.remap(uids, ids)), [3, 0, 2])
+
+
+def test_sparse_untied_matches_dense_trajectory():
+    """Untied output table: separate unique/remap/sub-table per table, still
+    exact vs dense for adagrad."""
+    def cfg_untied():
+        cfg = _cfg("adagrad")
+        cfg.model.tie_embeddings = False
+        return cfg
+
+    dense_state, dense_losses = _train(cfg_untied())
+    cfg = cfg_untied()
+    cfg.train.sparse_embedding_update = True
+    sparse_state, sparse_losses = _train(cfg)
+
+    np.testing.assert_allclose(sparse_losses, dense_losses, rtol=1e-5)
+    d = dense_state.params["params"]
+    s = sparse_state.params["params"]
+    for name in ("item_embedding", "output_embedding"):
+        np.testing.assert_allclose(
+            np.asarray(s[name]), np.asarray(d[name]),
+            rtol=2e-5, atol=2e-6, err_msg=f"{name} diverged",
+        )
