@@ -59,16 +59,24 @@ def run_scaling(
             new_state, _m = tr._train_step(carry, staged[i % 4])
             return new_state
 
-        step_ms, _ = chain_slope_ms(step, tr.init_state, n_short=steps,
-                                    n_long=3 * steps)
-        eps = tr.global_batch / (max(step_ms, 1e-6) / 1e3)
+        import numpy as np
+
+        step_ms, detail = chain_slope_ms(step, tr.init_state, n_short=steps,
+                                         n_long=3 * steps)
+        # Same finite/reliable guard as benchmarks/throughput.py: a NaN
+        # slope (no positive long-short gap) must not propagate into eps
+        # and the efficiency ratios silently.
+        finite = np.isfinite(step_ms) and step_ms > 0
+        eps = tr.global_batch / (step_ms / 1e3) if finite else 0.0
         if base_eps is None:
             base_eps = eps
         results.append({
             "devices": n,
             "mesh": dict(mesh.shape),
             "examples_per_s": round(eps, 1),
-            "efficiency_vs_1": round(eps / (base_eps * n), 3),
+            "efficiency_vs_1": (round(eps / (base_eps * n), 3)
+                                if finite and base_eps else float("nan")),
+            "reliable": bool(detail["reliable"]) and finite,
             "fake_devices": jax.default_backend() == "cpu",
         })
     return results

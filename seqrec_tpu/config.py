@@ -117,7 +117,8 @@ class TrainConfig:
     # Large-catalog mode: never materialize a dense [V, D] gradient for the
     # item table. The step gathers the batch's unique rows, differentiates
     # through the sub-table, and scatter-updates only touched rows (and their
-    # optimizer-state rows). Requires a sampled loss + tied embeddings;
+    # optimizer-state rows). Requires a sampled loss; tied and untied output
+    # tables both work (untied gets its own unique set + sub-table).
     # adagrad/sgd match dense updates exactly, adam becomes lazy-adam
     # (untouched rows skip moment decay). See train/sparse_embed.py.
     sparse_embedding_update: bool = False

@@ -52,6 +52,17 @@ def log_uniform_log_prob(ids: jax.Array, vocab_size: int) -> jax.Array:
     return jnp.log(jnp.maximum(p, 1e-30))
 
 
+def pos_log_prob(ids: jax.Array, vocab_size: int, kind: str) -> jax.Array:
+    """log Q(id) of POSITIVE targets under the configured negative sampler
+    (the sampled-softmax logQ correction must use the same distribution the
+    negatives were drawn from, else training biases toward popular items)."""
+    if kind == "uniform":
+        return jnp.full(ids.shape, -jnp.log(vocab_size - 1.0), jnp.float32)
+    if kind == "log_uniform":
+        return log_uniform_log_prob(ids, vocab_size)
+    raise ValueError(f"unknown negative sampler {kind!r}")
+
+
 def sample_negatives(
     key: jax.Array, num: int, vocab_size: int, kind: str
 ) -> Tuple[jax.Array, jax.Array]:

@@ -56,6 +56,10 @@ class SeqRecModel(nn.Module):
     max_len: int = 200
     dropout_rate: float = 0.1
     loss_type: str = "full_softmax"
+    # Training negative-sampler kind ("uniform" | "log_uniform"): the
+    # sampled-softmax logQ correction for POSITIVES must match the
+    # distribution the negatives came from (data/negative.pos_log_prob).
+    neg_sampler: str = "log_uniform"
     tie_embeddings: bool = True
     output_bias: bool = True
     use_pallas: bool = True
@@ -268,9 +272,10 @@ class SeqRecModel(nn.Module):
             ).astype(self.compute_dtype)
             if self.loss_type == "sampled_softmax":
                 if pos_log_q is None and neg_log_q is not None:
-                    from seqrec_tpu.data.negative import log_uniform_log_prob
+                    from seqrec_tpu.data.negative import pos_log_prob
 
-                    pos_log_q = log_uniform_log_prob(t2, self.vocab_size)
+                    pos_log_q = pos_log_prob(t2, self.vocab_size,
+                                             self.neg_sampler)
                 return ops.sampled_softmax_loss(
                     h2, pos_emb, neg_emb, t2, neg_ids, w2,
                     pos_log_q=pos_log_q, neg_log_q=neg_log_q,
@@ -337,6 +342,7 @@ def build_model(
     mesh: Optional[Mesh] = None,
     mesh_cfg: Optional[MeshConfig] = None,
     num_users: int = 0,
+    neg_sampler: str = "log_uniform",
 ) -> SeqRecModel:
     mesh_cfg = mesh_cfg or MeshConfig()
     shard = bool(mesh_cfg.shard_embeddings and mesh is not None)
@@ -365,6 +371,7 @@ def build_model(
         max_len=cfg.max_len,
         dropout_rate=cfg.dropout_rate,
         loss_type=cfg.loss,
+        neg_sampler=neg_sampler,
         tie_embeddings=cfg.tie_embeddings,
         output_bias=cfg.loss == "full_softmax",
         use_pallas=cfg.use_pallas,

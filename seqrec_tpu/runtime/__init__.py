@@ -1,7 +1,6 @@
 from seqrec_tpu.runtime.mesh import (  # noqa: F401
     init_distributed,
     make_mesh,
-    host_batch_slice,
     local_device_count,
     process_count,
     process_index,

@@ -93,14 +93,3 @@ def process_count() -> int:
 
 def local_device_count() -> int:
     return jax.local_device_count()
-
-
-def host_batch_slice(global_batch: int) -> slice:
-    """The slice of a global batch this host is responsible for feeding.
-
-    Each host reads its own shard of the data stream (SURVEY.md §2 #16);
-    global batch is split evenly across processes.
-    """
-    per_host = global_batch // jax.process_count()
-    start = jax.process_index() * per_host
-    return slice(start, start + per_host)

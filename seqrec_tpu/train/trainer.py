@@ -41,7 +41,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.model_axis)
         self.model = build_model(
             cfg.model, self.ds.vocab_size, mesh=self.mesh, mesh_cfg=cfg.mesh,
-            num_users=self.ds.num_users,
+            num_users=self.ds.num_users, neg_sampler=cfg.data.neg_sampler,
         )
         self._sparse_embed = bool(cfg.train.sparse_embedding_update)
         if self._sparse_embed:
@@ -266,7 +266,7 @@ class Trainer:
         Tied embeddings: ONE unique set covers inputs + targets + negatives.
         Untied: the input table's set covers inputs; the output table gets
         its own set (targets + negatives) and its own sub-table override."""
-        from seqrec_tpu.data.negative import log_uniform_log_prob
+        from seqrec_tpu.data.negative import pos_log_prob
         from seqrec_tpu.train import sparse_embed
 
         cfg = self.cfg
@@ -300,9 +300,10 @@ class Trainer:
         neg_ids_r = sparse_embed.remap(uids_out, neg_ids)
         pos_log_q = None
         if cfg.model.loss == "sampled_softmax" and neg_log_q is not None:
-            # logQ must come from ORIGINAL ids; batch_r carries positions.
-            pos_log_q = log_uniform_log_prob(
-                targets.reshape(-1), self.ds.vocab_size
+            # logQ must come from ORIGINAL ids (batch_r carries positions)
+            # and from the SAME distribution the negatives were drawn from.
+            pos_log_q = pos_log_prob(
+                targets.reshape(-1), self.ds.vocab_size, cfg.data.neg_sampler
             )
 
         def loss_fn(diff):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from seqrec_tpu.data.negative import (
     log_uniform_log_prob,
@@ -47,3 +48,24 @@ def test_dispatch():
     for kind in ("uniform", "log_uniform"):
         ids, log_q = sample_negatives(jax.random.key(3), 64, 100, kind)
         assert ids.shape == (64,) and log_q.shape == (64,)
+
+
+def test_pos_log_prob_matches_sampler_distribution():
+    """The positive logQ correction must use the distribution the negatives
+    were drawn from: constant -log(V-1) for uniform, the analytic Zipf-ish
+    pmf for log_uniform (ADVICE round 1: mixing them biases training)."""
+    from seqrec_tpu.data.negative import (
+        log_uniform_log_prob,
+        pos_log_prob,
+    )
+
+    ids = jnp.asarray([1, 5, 99], jnp.int32)
+    V = 100
+    uni = pos_log_prob(ids, V, "uniform")
+    np.testing.assert_allclose(np.asarray(uni), -np.log(V - 1.0), rtol=1e-6)
+    lu = pos_log_prob(ids, V, "log_uniform")
+    np.testing.assert_allclose(
+        np.asarray(lu), np.asarray(log_uniform_log_prob(ids, V)), rtol=1e-6
+    )
+    with pytest.raises(ValueError):
+        pos_log_prob(ids, V, "nope")
