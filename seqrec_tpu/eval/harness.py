@@ -53,6 +53,87 @@ def sample_eval_candidates(
     return out
 
 
+# Compiled-eval-step cache (VERDICT r1: a fresh @jax.jit closure per
+# evaluate() call re-traced AND re-compiled every periodic eval — 40 s-10 min
+# per compile on the relay). Keyed by everything the traced computation
+# depends on besides (params, batch); flax modules hash/compare structurally
+# so trainers that rebuild an identical model still hit. jit handles
+# per-shape caching below each entry.
+_STEP_CACHE: Dict[tuple, Any] = {}
+# Trace counters for tests: bumped at TRACE time only (jit caches calls).
+trace_counts: Dict[str, int] = {"full": 0, "sampled": 0}
+
+
+def _cached_full_step(model, ks, use_sharded, use_chunked, mesh, chunk):
+    key = ("full", model, tuple(ks), use_sharded, use_chunked,
+           mesh if use_sharded else None, chunk)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
+    @jax.jit
+    def step_full(params, batch):
+        trace_counts["full"] += 1
+        if use_sharded or use_chunked:
+            h_last = model.apply(
+                params, batch["inputs"], batch["mask"],
+                users=batch.get("users"),
+                method=model.last_hidden,
+            )
+            table = model.apply(params, method=model.output_table)
+            bias = model.apply(params, method=model.output_bias_value)
+            if use_sharded:
+                from seqrec_tpu.eval.sharded import sharded_ranks
+
+                ranks = sharded_ranks(
+                    table, h_last.astype(jnp.float32), batch["target"], mesh,
+                    bias=bias, num_valid=model.vocab_size,
+                )
+            else:
+                from seqrec_tpu.eval.chunked import chunked_ranks
+
+                ranks = chunked_ranks(
+                    table, h_last, batch["target"], bias=bias,
+                    num_valid=model.vocab_size,
+                    compute_dtype=model.compute_dtype,
+                    chunk=chunk,
+                )
+            return rank_metrics(ranks, batch["valid"], ks)
+        scores = model.apply(
+            params, batch["inputs"], batch["mask"],
+            users=batch.get("users"), method=model.scores,
+        )
+        scores = mask_scores(scores)
+        ranks = ranks_from_scores(scores, batch["target"])
+        return rank_metrics(ranks, batch["valid"], ks)
+
+    _STEP_CACHE[key] = step_full
+    return step_full
+
+
+def _cached_sampled_step(model, ks):
+    key = ("sampled", model, tuple(ks))
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
+    @jax.jit
+    def step_sampled(params, batch):
+        trace_counts["sampled"] += 1
+        scores = model.apply(
+            params,
+            batch["inputs"],
+            batch["mask"],
+            users=batch.get("users"),
+            method=model.scores,
+            candidates=batch["candidates"],
+        )
+        target_idx = jnp.zeros(scores.shape[0], dtype=jnp.int32)
+        ranks = ranks_from_scores(scores, target_idx)
+        return rank_metrics(ranks, batch["valid"], ks)
+
+    _STEP_CACHE[key] = step_sampled
+    return step_sampled
+
+
 def evaluate(
     model,
     params,
@@ -75,62 +156,18 @@ def evaluate(
     # Single-device large catalogs: stream the catalog in blocks instead of
     # materializing [B, V] (eval/chunked.py; 10M items x B=256 would be
     # 10 GB). Auto-on past ~512 MB, or forced via eval.full_chunk_items.
-    from seqrec_tpu.eval.chunked import CHUNK_THRESHOLD_BYTES
+    from seqrec_tpu.eval.chunked import CHUNK_THRESHOLD_BYTES, DEFAULT_CHUNK
 
     table_rows = getattr(model, "table_size", None) or model.vocab_size
     use_chunked = not use_sharded and (
         eval_cfg.full_chunk_items is not None
         or 4 * B * table_rows > CHUNK_THRESHOLD_BYTES
     )
-
-    @jax.jit
-    def step_full(params, batch):
-        if use_sharded or use_chunked:
-            h_last = model.apply(
-                params, batch["inputs"], batch["mask"],
-                users=batch.get("users"),
-                method=model.last_hidden,
-            )
-            table = model.apply(params, method=model.output_table)
-            bias = model.apply(params, method=model.output_bias_value)
-            if use_sharded:
-                from seqrec_tpu.eval.sharded import sharded_ranks
-
-                ranks = sharded_ranks(
-                    table, h_last.astype(jnp.float32), batch["target"], mesh,
-                    bias=bias, num_valid=model.vocab_size,
-                )
-            else:
-                from seqrec_tpu.eval.chunked import DEFAULT_CHUNK, chunked_ranks
-
-                ranks = chunked_ranks(
-                    table, h_last, batch["target"], bias=bias,
-                    num_valid=model.vocab_size,
-                    compute_dtype=model.compute_dtype,
-                    chunk=eval_cfg.full_chunk_items or DEFAULT_CHUNK,
-                )
-            return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
-        scores = model.apply(
-            params, batch["inputs"], batch["mask"],
-            users=batch.get("users"), method=model.scores,
-        )
-        scores = mask_scores(scores)
-        ranks = ranks_from_scores(scores, batch["target"])
-        return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
-
-    @jax.jit
-    def step_sampled(params, batch):
-        scores = model.apply(
-            params,
-            batch["inputs"],
-            batch["mask"],
-            users=batch.get("users"),
-            method=model.scores,
-            candidates=batch["candidates"],
-        )
-        target_idx = jnp.zeros(scores.shape[0], dtype=jnp.int32)
-        ranks = ranks_from_scores(scores, target_idx)
-        return rank_metrics(ranks, batch["valid"], eval_cfg.ks)
+    step_full = _cached_full_step(
+        model, eval_cfg.ks, use_sharded, use_chunked, mesh,
+        eval_cfg.full_chunk_items or DEFAULT_CHUNK,
+    )
+    step_sampled = _cached_sampled_step(model, eval_cfg.ks)
 
     # Each process evaluates its own user shard; sums are reduced across
     # processes at the end so reported metrics are global (SURVEY.md §5.5).

@@ -19,6 +19,48 @@ import numpy as np
 from seqrec_tpu.eval.chunked import CHUNK_THRESHOLD_BYTES
 from seqrec_tpu.eval.metrics import mask_scores
 
+# Compiled-step cache: recommend() is called per request batch in serving;
+# a fresh @jax.jit closure per call would re-trace + re-compile every time
+# (40 s-10 min per compile on the relay). Same scheme as eval/harness.py.
+_STEP_CACHE: Dict[tuple, object] = {}
+
+
+def _cached_topk_step(model, fetch_k, use_sharded, use_chunked, mesh, chunk):
+    key = (model, fetch_k, use_sharded, use_chunked,
+           mesh if use_sharded else None, chunk)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
+    @jax.jit
+    def step(params, inputs, mask, users):
+        if use_sharded or use_chunked:
+            h_last = model.apply(params, inputs, mask, users=users,
+                                 method=model.last_hidden)
+            table = model.apply(params, method=model.output_table)
+            bias = model.apply(params, method=model.output_bias_value)
+            if use_sharded:
+                from seqrec_tpu.eval.sharded import sharded_topk
+
+                return sharded_topk(
+                    table, h_last.astype(jnp.float32), fetch_k, mesh,
+                    bias=bias, num_valid=model.vocab_size,
+                )
+            from seqrec_tpu.eval.chunked import chunked_topk
+
+            return chunked_topk(
+                table, h_last, fetch_k, bias=bias,
+                num_valid=model.vocab_size,
+                compute_dtype=model.compute_dtype,
+                chunk=chunk,
+            )
+        scores = model.apply(params, inputs, mask, users=users,
+                             method=model.scores)
+        scores = mask_scores(scores)
+        return jax.lax.top_k(scores, fetch_k)
+
+    _STEP_CACHE[key] = step
+    return step
+
 
 def _pack(
     histories: Sequence[Sequence[int]],
@@ -48,8 +90,12 @@ def recommend(
     max_len: int = 200,
     mesh=None,
     exclude_history: bool = True,
+    chunk: int | None = None,
 ) -> Iterator[Dict]:
-    """Yield {"user", "items", "scores"} per input history dict (in order)."""
+    """Yield {"user", "items", "scores"} per input history dict (in order).
+
+    `chunk` sets the catalog block size on the chunked-topk path; None reads
+    eval.chunked.DEFAULT_CHUNK at call time (so tests can patch it)."""
     use_sharded = bool(
         mesh is not None
         and getattr(model, "shard_embeddings", False)
@@ -63,32 +109,12 @@ def recommend(
     # Over-fetch so host-side history exclusion cannot empty the list.
     fetch_k = min(k + (max_len if exclude_history else 0),
                   model.vocab_size - 1)
+    from seqrec_tpu.eval import chunked as chunked_mod
 
-    @jax.jit
-    def step(params, inputs, mask, users):
-        if use_sharded or use_chunked:
-            h_last = model.apply(params, inputs, mask, users=users,
-                                 method=model.last_hidden)
-            table = model.apply(params, method=model.output_table)
-            bias = model.apply(params, method=model.output_bias_value)
-            if use_sharded:
-                from seqrec_tpu.eval.sharded import sharded_topk
-
-                return sharded_topk(
-                    table, h_last.astype(jnp.float32), fetch_k, mesh,
-                    bias=bias, num_valid=model.vocab_size,
-                )
-            from seqrec_tpu.eval.chunked import chunked_topk
-
-            return chunked_topk(
-                table, h_last, fetch_k, bias=bias,
-                num_valid=model.vocab_size,
-                compute_dtype=model.compute_dtype,
-            )
-        scores = model.apply(params, inputs, mask, users=users,
-                             method=model.scores)
-        scores = mask_scores(scores)
-        return jax.lax.top_k(scores, fetch_k)
+    step = _cached_topk_step(
+        model, fetch_k, use_sharded, use_chunked, mesh,
+        chunk if chunk is not None else chunked_mod.DEFAULT_CHUNK,
+    )
 
     pending: List[Dict] = []
 
