@@ -84,6 +84,11 @@ class DataConfig:
     # Use the native C++ threaded data engine when built (make -C native);
     # falls back to the Python pipeline automatically.
     use_native_loader: bool = True
+    # Host→device prefetch depth: a background thread stages this many
+    # upcoming batches in device HBM so the hot loop never waits on the host
+    # (SURVEY.md §2 #16). 2 = double-buffering; 0 disables (synchronous
+    # next+put per step, debug only).
+    prefetch_to_device: int = 2
     # Synthetic-dataset knobs (BASELINE.json:11 large-catalog config).
     synthetic_num_items: int = 10_000
     synthetic_num_users: int = 2_000
@@ -111,7 +116,16 @@ class TrainConfig:
     resume: bool = False
     profile_dir: Optional[str] = None
     profile_steps: Tuple[int, int] = (10, 20)
+    # Detect non-finite loss/gradients and HALT with the failing step number
+    # (SURVEY.md §5.2). The check is a cheap scalar computed on device every
+    # step; fetching it synchronizes the loop, so leave off for benchmarks.
     debug_nans: bool = False
+    # Replace non-finite gradients with zeros and keep training (the lenient
+    # knob; orthogonal to debug_nans, which halts instead).
+    sanitize_nans: bool = False
+    # Mirror scalar metrics to TensorBoard (out_dir/tb) in addition to the
+    # host-0 JSONL stream (SURVEY.md §5.5).
+    tensorboard: bool = False
     # Fault-injection for resume tests (SURVEY.md §5.3): exit after this step.
     fail_after_step: Optional[int] = None
     # Large-catalog mode: never materialize a dense [V, D] gradient for the

@@ -15,6 +15,22 @@ import optax
 from seqrec_tpu.config import TrainConfig
 
 
+def decay_mask(params: Any) -> Any:
+    """Weight-decay mask: decay only matrices that are not embedding tables.
+
+    Biases and LayerNorm scales (ndim < 2) and the embedding tables (decaying
+    a 10M-row table drags every untouched item toward zero each step) are
+    excluded — the standard AdamW convention."""
+
+    def leaf_mask(path, leaf) -> bool:
+        in_embed = any(
+            "embedding" in str(getattr(k, "key", k)) for k in path
+        )
+        return getattr(leaf, "ndim", 0) >= 2 and not in_embed
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
 @flax.struct.dataclass
 class TrainState:
     step: jax.Array  # scalar int32
@@ -52,18 +68,24 @@ def make_optimizer(cfg: TrainConfig, *,
     the tower part to optax — an in-chain clip would see only part of the
     gradient and double-clip."""
     sched = make_schedule(cfg)
+    # Split the scaler from the LR step so weight decay can sit between them
+    # (decoupled / AdamW placement: decay is lr*wd*param, NOT fed through the
+    # adam moments). Scaler hyperparameters match optax.adam/adagrad/sgd.
     if cfg.optimizer == "adam":
-        opt = optax.adam(sched)
+        scaler = optax.scale_by_adam()
     elif cfg.optimizer == "adagrad":
-        opt = optax.adagrad(sched)
+        scaler = optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-7)
     elif cfg.optimizer == "sgd":
-        opt = optax.sgd(sched)
+        scaler = optax.identity()
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     chain = []
     if with_clip and cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(scaler)
     if cfg.weight_decay and cfg.weight_decay > 0:
-        chain.append(optax.add_decayed_weights(cfg.weight_decay))
-    chain.append(opt)
+        chain.append(
+            optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask)
+        )
+    chain.append(optax.scale_by_learning_rate(sched))
     return optax.chain(*chain)

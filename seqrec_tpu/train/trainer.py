@@ -226,7 +226,14 @@ class Trainer:
         (loss, (loss_sum, w_sum, new_carry)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        if cfg.train.debug_nans:
+        gnorm = optax.global_norm(grads["params"])
+        # A single NaN/inf anywhere in the gradient poisons the global norm,
+        # so one scalar check covers the whole tree (SURVEY.md §5.2: detect,
+        # don't launder — fit() halts on this flag under train.debug_nans).
+        nonfinite = jnp.logical_or(
+            ~jnp.isfinite(gnorm), ~jnp.isfinite(loss)
+        )
+        if cfg.train.sanitize_nans:
             grads = jax.tree.map(
                 lambda g: jax.lax.select(
                     jnp.isfinite(g).all(), g, jnp.nan_to_num(g)
@@ -237,7 +244,6 @@ class Trainer:
             grads["params"], state.opt_state, state.params["params"]
         )
         new_params = {"params": optax.apply_updates(state.params["params"], updates)}
-        gnorm = optax.global_norm(grads["params"])
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -249,6 +255,7 @@ class Trainer:
             "loss": loss,
             "tokens": w_sum,
             "grad_norm": gnorm,
+            "nonfinite": nonfinite,
         }
         return new_state, metrics
 
@@ -327,12 +334,13 @@ class Trainer:
         )((subs, rest))
 
         gnorm = optax.global_norm((g_subs, g_rest))
+        nonfinite = jnp.logical_or(~jnp.isfinite(gnorm), ~jnp.isfinite(loss))
         clip = cfg.train.grad_clip_norm
         if clip and clip > 0:
             scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
             g_subs = jax.tree.map(lambda g: g * scale, g_subs)
             g_rest = jax.tree.map(lambda g: g * scale, g_rest)
-        if cfg.train.debug_nans:
+        if cfg.train.sanitize_nans:
             g_subs, g_rest = jax.tree.map(
                 lambda g: jax.lax.select(
                     jnp.isfinite(g).all(), g, jnp.nan_to_num(g)
@@ -366,6 +374,7 @@ class Trainer:
             "loss": loss,
             "tokens": w_sum,
             "grad_norm": gnorm,
+            "nonfinite": nonfinite,
         }
         return new_state, metrics
 
@@ -438,7 +447,7 @@ class Trainer:
     def fit(self, state: Optional[TrainState] = None) -> Tuple[TrainState, Dict[str, float]]:
         cfg = self.cfg
         out_dir = cfg.train.out_dir
-        logger = MetricsLogger(out_dir)
+        logger = MetricsLogger(out_dir, tensorboard=cfg.train.tensorboard)
         heartbeat = Heartbeat(out_dir) if out_dir else None
         ckpt = (
             CheckpointManager(
@@ -463,6 +472,19 @@ class Trainer:
 
         self.precompile(state)
 
+        # Host→device prefetch (SURVEY.md §2 #16): stage upcoming batches in
+        # HBM from a background thread so the hot loop below never blocks on
+        # host batch assembly or the H2D copy. Built AFTER precompile and
+        # resume fast-forward so the queue holds exactly the next batches.
+        prefetcher: Optional[DevicePrefetcher] = None
+        if cfg.data.prefetch_to_device > 0:
+            prefetcher = DevicePrefetcher(
+                it, self.put_batch, depth=cfg.data.prefetch_to_device
+            )
+            feed: Iterator = prefetcher
+        else:
+            feed = ((b, self.put_batch(h)) for b, h in it)
+
         start_step = int(jax.device_get(state.step))
         pending: Optional[Dict[str, jax.Array]] = None
         pending_step = 0
@@ -471,7 +493,8 @@ class Trainer:
         last_eval: Dict[str, float] = {}
         profiling = False
 
-        for step in range(start_step, cfg.train.num_steps):
+        try:
+          for step in range(start_step, cfg.train.num_steps):
             if (
                 cfg.train.profile_dir
                 and step == cfg.train.profile_steps[0]
@@ -479,11 +502,22 @@ class Trainer:
             ):
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
-            bucket, batch = next(it)
+            bucket, batch = next(feed)
             data_position += 1
-            state, metrics = self._train_step(state, self.put_batch(batch))
+            state, metrics = self._train_step(state, batch)
             examples_window += self.global_batch
             pending, pending_step = metrics, step
+
+            if cfg.train.debug_nans and bool(
+                jax.device_get(metrics["nonfinite"])
+            ):
+                if ckpt is not None:
+                    ckpt.wait()
+                logger.log(step, "fatal", {"nonfinite_grads_at": step})
+                raise FloatingPointError(
+                    f"non-finite loss/gradients at step {step} "
+                    "(train.debug_nans); last finite checkpoint is intact"
+                )
 
             if (step + 1) % cfg.train.log_every == 0:
                 m = jax.device_get(pending)
@@ -526,6 +560,9 @@ class Trainer:
                     ckpt.wait()
                 logger.log(step, "fault_injection", {"exit_at": step + 1})
                 return state, last_eval
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
 
         if ckpt is not None:
             ckpt.save(cfg.train.num_steps, state, data_position)
