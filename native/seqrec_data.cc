@@ -44,6 +44,7 @@ struct Loader {
   uint64_t seed;
   int shard_index, shard_count;
   int hold_out;  // items to drop from each tail (2 = leave-last-out train)
+  int64_t skip;  // batches to fast-forward past without materializing
   // Prefetch machinery.
   std::thread worker;
   std::mutex mu;
@@ -84,7 +85,15 @@ struct Loader {
         while (buckets[bi] < steps) ++bi;
         pending[bi].push_back(u);
         if (static_cast<int>(pending[bi].size()) == batch_size) {
-          emit(pending[bi], buckets[bi]);
+          // Checkpoint-resume fast-forward: replay the stream's bookkeeping
+          // (shuffle order + bucket fills) without building or queueing the
+          // batch — O(consumed users) integer work, so a million-batch
+          // position costs well under a second.
+          if (skip > 0) {
+            --skip;
+          } else {
+            emit(pending[bi], buckets[bi]);
+          }
           pending[bi].clear();
         }
       }
@@ -130,7 +139,8 @@ void* srd_create(const int32_t* items, int64_t num_items,
                  const int64_t* offsets, int64_t num_offsets,
                  int batch_size, int max_len, const int* buckets,
                  int num_buckets, uint64_t seed, int shard_index,
-                 int shard_count, int hold_out, int prefetch) {
+                 int shard_count, int hold_out, int prefetch,
+                 int64_t skip_batches) {
   auto* L = new Loader();
   L->items.assign(items, items + num_items);
   L->offsets.assign(offsets, offsets + num_offsets);
@@ -144,6 +154,7 @@ void* srd_create(const int32_t* items, int64_t num_items,
   L->shard_index = shard_index;
   L->shard_count = shard_count < 1 ? 1 : shard_count;
   L->hold_out = hold_out;
+  L->skip = skip_batches < 0 ? 0 : skip_batches;
   L->capacity = prefetch < 1 ? 1 : static_cast<size_t>(prefetch);
   L->worker = std::thread([L] { L->run(); });
   return L;

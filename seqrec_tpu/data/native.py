@@ -71,7 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int), ctypes.c_int,
                     ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int64,
                 ]
                 lib.srd_next_batch.restype = ctypes.c_int
                 lib.srd_next_batch.argtypes = [
@@ -106,6 +106,7 @@ class NativeTrainLoader:
         host_shard: Tuple[int, int] = (0, 1),
         hold_out: int = 2,  # leave-last-out: last 2 items held for val/test
         prefetch: int = 4,
+        skip_batches: int = 0,  # checkpoint-resume fast-forward (no emit)
     ):
         lib = _load()
         if lib is None:
@@ -131,6 +132,7 @@ class NativeTrainLoader:
             len(bucket_arr),
             seed + 1_000_003 * host_shard[0],
             host_shard[0], host_shard[1], hold_out, prefetch,
+            skip_batches,
         )
         if not self._handle:
             raise RuntimeError("srd_create failed")

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from seqrec_tpu.config import RunConfig
 from seqrec_tpu.data.batching import make_train_batches
+from seqrec_tpu.data.prefetch import DevicePrefetcher
 from seqrec_tpu.data.dataset import SequenceDataset, load_dataset
 from seqrec_tpu.data.negative import sample_negatives
 from seqrec_tpu.eval.harness import evaluate
@@ -390,7 +391,14 @@ class Trainer:
 
     # ---- data ------------------------------------------------------------
 
-    def train_iterator(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+    def train_iterator(
+        self, skip_batches: int = 0
+    ) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
+        """Training stream, optionally fast-forwarded past `skip_batches`
+        already-consumed batches (checkpoint resume). Both bucketed loaders
+        fast-forward analytically (SURVEY.md §5.4 "restores exactly" without
+        O(steps) batch replay); the session-parallel stream replays — its
+        lane state is genuinely sequential (fit() handles that case)."""
         host_shard = (jax.process_index(), jax.process_count())
         if self.cfg.data.session_parallel:
             from seqrec_tpu.data.batching import make_session_stream
@@ -413,6 +421,7 @@ class Trainer:
                     buckets=self.cfg.data.buckets,
                     seed=self.cfg.data.seed,
                     host_shard=host_shard,
+                    skip_batches=skip_batches,
                 )
         return make_train_batches(
             self.ds,
@@ -421,6 +430,7 @@ class Trainer:
             buckets=self.cfg.data.buckets,
             seed=self.cfg.data.seed,
             host_shard=host_shard,
+            skip_batches=skip_batches,
         )
 
     def precompile(self, state: TrainState) -> None:
@@ -466,9 +476,10 @@ class Trainer:
             os.makedirs(out_dir, exist_ok=True)
             self.cfg.save(os.path.join(out_dir, "config.json"))
 
-        it = self.train_iterator()
-        for _ in range(data_position):  # fast-forward after resume
-            next(it)
+        it = self.train_iterator(skip_batches=data_position)
+        if self.cfg.data.session_parallel:
+            for _ in range(data_position):  # lane state is sequential: replay
+                next(it)
 
         self.precompile(state)
 
