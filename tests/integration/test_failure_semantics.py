@@ -34,8 +34,8 @@ def _poison_iterator(tr: Trainer, at_step: int):
     NaN flows through loss and every gradient (the real detection path)."""
     orig = tr.train_iterator
 
-    def poisoned():
-        for i, (b, batch) in enumerate(orig()):
+    def poisoned(**kw):
+        for i, (b, batch) in enumerate(orig(**kw)):
             if i == at_step:
                 batch = dict(batch, mask=batch["mask"] * np.nan)
             yield b, batch
