@@ -167,9 +167,16 @@ class SeqRecModel(nn.Module):
         `inputs` already remapped to sub-table positions) so autodiff
         produces a [K, D] cotangent instead of a dense [V, D] one."""
         with jax.named_scope("embedding_lookup"):
-            table = (self.item_embedding if table_override is None
-                     else table_override)
-            x = self._lookup(table, inputs)
+            if table_override is None:
+                x = self._lookup(self.item_embedding, inputs)
+            else:
+                # Sub-table override: [K, D] REPLICATED rows with `inputs`
+                # already remapped to sub-table positions — a plain gather,
+                # never the sharded collective (which expects original ids
+                # against the row-sharded full table).
+                x = ops.embedding_gather(
+                    table_override, inputs, use_pallas=self.use_pallas
+                ).astype(self.compute_dtype)
             if self.use_user_embedding and users is not None:
                 u = self._lookup(self.user_embedding, users)  # [B, D]
                 x = x + u[:, None, :]
@@ -266,7 +273,14 @@ class SeqRecModel(nn.Module):
         if self.loss_type in SAMPLED_LOSSES:
             if neg_ids is None:
                 raise ValueError(f"{self.loss_type} needs neg_ids")
-            pos_emb = self._lookup(out_table, t2)
+            if table_override is not None or out_table_override is not None:
+                # Sub-table positions index a replicated [K, H] table: plain
+                # gather (see encode).
+                pos_emb = ops.embedding_gather(
+                    out_table, t2, use_pallas=self.use_pallas
+                ).astype(self.compute_dtype)
+            else:
+                pos_emb = self._lookup(out_table, t2)
             neg_emb = ops.embedding_gather(
                 out_table, neg_ids, use_pallas=self.use_pallas
             ).astype(self.compute_dtype)

@@ -34,6 +34,9 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from seqrec_tpu.runtime.mesh import MODEL_AXIS
 
 # optax defaults, mirrored (see module docstring).
 ADAGRAD_INIT_ACC = 0.1
@@ -97,54 +100,156 @@ def init_row_opt(optimizer: str, table: jax.Array) -> Dict[str, jax.Array]:
 def row_update(
     optimizer: str,
     lr: jax.Array,
-    table: jax.Array,  # [V, D]
+    table: jax.Array,  # [V, D] (or the local [V/M, D] shard, see `indices`)
     row_opt: Dict[str, jax.Array],
     uids: jax.Array,  # [K] sorted unique ids (with fill duplicates)
     g_rows: jax.Array,  # [K, D] gradient of the gathered sub-table
     step: jax.Array,  # scalar int32, 0-based global step
+    *,
+    indices: Optional[jax.Array] = None,  # [K] scatter rows; default = uids
+    extra_valid: Optional[jax.Array] = None,  # [K] extra row mask (sharding)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Apply one optimizer step to the touched rows only.
 
     All writes are first-occurrence-masked `.add` deltas, so the duplicate
     fill slots in `uids` contribute exactly zero and scatter order never
-    matters."""
-    valid = _first_occurrence_mask(uids)[:, None].astype(jnp.float32)
+    matters. `indices`/`extra_valid` exist for the row-sharded composition
+    (sharded_row_update): each shard scatters at LOCAL row offsets and masks
+    out ids owned by other shards — a masked slot's delta is exactly zero
+    for every optimizer branch below, so clipped indices are harmless."""
+    if indices is None:
+        indices = uids
+    valid = _first_occurrence_mask(uids)
+    if extra_valid is not None:
+        valid = valid & extra_valid
+    valid = valid[:, None].astype(jnp.float32)
     g = g_rows.astype(jnp.float32) * valid
 
     if optimizer == "sgd":
         upd = (-lr * g).astype(table.dtype)
-        return table.at[uids].add(upd), row_opt
+        return table.at[indices].add(upd), row_opt
 
     if optimizer == "adagrad":
         acc = row_opt["acc"]
-        acc_rows = acc[uids]
+        acc_rows = acc[indices]
         acc_new = acc_rows + g * g
         inv = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + ADAGRAD_EPS), 0.0)
         upd = (-lr * g * inv) * valid
         return (
-            table.at[uids].add(upd.astype(table.dtype)),
-            {"acc": acc.at[uids].add((acc_new - acc_rows) * valid)},
+            table.at[indices].add(upd.astype(table.dtype)),
+            {"acc": acc.at[indices].add((acc_new - acc_rows) * valid)},
         )
 
     if optimizer == "adam":
         # Lazy adam: moments of untouched rows keep their values (no decay).
         m, v = row_opt["m"], row_opt["v"]
-        m_rows, v_rows = m[uids], v[uids]
+        m_rows, v_rows = m[indices], v[indices]
         m_new = ADAM_B1 * m_rows + (1.0 - ADAM_B1) * g
         v_new = ADAM_B2 * v_rows + (1.0 - ADAM_B2) * g * g
         t = (step + 1).astype(jnp.float32)
         m_hat = m_new / (1.0 - ADAM_B1 ** t)
         v_hat = v_new / (1.0 - ADAM_B2 ** t)
         upd = (-lr * m_hat / (jnp.sqrt(v_hat) + ADAM_EPS)) * valid
+        # Masked slots: m_new - m_rows = (B1-1)*m_rows != 0 even at g=0, so
+        # the `valid` factor (not just g-zeroing) is what protects rows owned
+        # by other shards / duplicate fill slots.
         return (
-            table.at[uids].add(upd.astype(table.dtype)),
+            table.at[indices].add(upd.astype(table.dtype)),
             {
-                "m": m.at[uids].add((m_new - m_rows) * valid),
-                "v": v.at[uids].add((v_new - v_rows) * valid),
+                "m": m.at[indices].add((m_new - m_rows) * valid),
+                "v": v.at[indices].add((v_new - v_rows) * valid),
             },
         )
 
     raise ValueError(f"unsupported optimizer {optimizer!r}")
+
+
+# ---- row-sharded composition (SURVEY.md §7.1 PR 5 × this module) ----------
+#
+# The flagship large-catalog config (BASELINE.json:11) needs BOTH: the table
+# row-sharded over the mesh's 'model' axis (10M x 128 f32 = 5 GB — plus adam
+# moments 10 GB — split across shards) AND sparse row-wise updates (no dense
+# [V/M, D] gradient per shard either: that would still be 640 MB/step at
+# M=8). Composition:
+#
+#   1. the trainer computes global unique ids [K] (replicated — K is a few
+#      10k, trivially small next to the table);
+#   2. `sharded_sub_table` fetches the [K, D] sub-table: each shard gathers
+#      the rows it owns, zero-fills the rest, and a psum over 'model'
+#      assembles the replicated sub-table (ICI cost K*D, the same order as
+#      one activation exchange of the dense-sharded path);
+#   3. forward/backward differentiate through the REPLICATED sub-table
+#      exactly like the single-chip sparse path — the cotangent is [K, D];
+#   4. `sharded_row_update` applies the optimizer per shard: ids are shifted
+#      to local offsets, rows owned by other shards are masked (delta = 0 at
+#      a clipped index), so each table/opt-state row is updated exactly once,
+#      on the one shard that owns it.
+#
+# No dense [V, D] or [V/M, D] gradient ever exists, and steps 2/4 are the
+# exact transpose pair of each other by construction.
+
+
+def sharded_sub_table(table: jax.Array, uids: jax.Array, mesh: Mesh) -> jax.Array:
+    """Gather rows `uids` from a P('model', None) row-sharded table.
+
+    Returns the [K, D] sub-table REPLICATED on every device. Pure fetch — the
+    caller differentiates w.r.t. the returned sub-table, never through this.
+    """
+    M = mesh.shape[MODEL_AXIS]
+    if M == 1:
+        return table[uids]
+    if table.shape[0] % M != 0:
+        raise ValueError(
+            f"table rows {table.shape[0]} must divide model shards {M}; "
+            "use parallel.embedding.padded_vocab"
+        )
+    rows_per = table.shape[0] // M
+
+    def _gather(tl: jax.Array, u: jax.Array) -> jax.Array:
+        local = u - jax.lax.axis_index(MODEL_AXIS) * rows_per
+        owned = (local >= 0) & (local < rows_per)
+        safe = jnp.clip(local, 0, rows_per - 1)
+        contrib = jnp.where(owned[:, None], tl[safe], 0)
+        return jax.lax.psum(contrib, MODEL_AXIS)
+
+    return jax.shard_map(
+        _gather, mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P()), out_specs=P(),
+    )(table, uids)
+
+
+def sharded_row_update(
+    optimizer: str,
+    lr: jax.Array,
+    table: jax.Array,  # [V, D] sharded P('model', None)
+    row_opt: Dict[str, jax.Array],  # leaves sharded like the table
+    uids: jax.Array,  # [K] replicated sorted unique ids
+    g_rows: jax.Array,  # [K, D] replicated sub-table gradient
+    step: jax.Array,
+    mesh: Mesh,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """row_update for a row-sharded table: each shard updates its own rows."""
+    M = mesh.shape[MODEL_AXIS]
+    if M == 1:
+        return row_update(optimizer, lr, table, row_opt, uids, g_rows, step)
+    rows_per = table.shape[0] // M
+
+    def _upd(tl, ro, u, g, lr_, step_):
+        local = u - jax.lax.axis_index(MODEL_AXIS) * rows_per
+        owned = (local >= 0) & (local < rows_per)
+        safe = jnp.clip(local, 0, rows_per - 1)
+        return row_update(
+            optimizer, lr_, tl, ro, u, g, step_,
+            indices=safe, extra_valid=owned,
+        )
+
+    shard_spec = P(MODEL_AXIS, None)
+    opt_specs = jax.tree.map(lambda _: shard_spec, row_opt)
+    return jax.shard_map(
+        _upd, mesh=mesh,
+        in_specs=(shard_spec, opt_specs, P(), P(), P(), P()),
+        out_specs=(shard_spec, opt_specs),
+    )(table, row_opt, uids, g_rows, lr, step)
 
 
 def validate_config(cfg) -> None:
@@ -161,9 +266,6 @@ def validate_config(cfg) -> None:
             f"loss {cfg.model.loss!r} needs the full table every step; "
             f"sparse updates require one of {SAMPLED_LOSSES}"
         )
-    if cfg.mesh.shard_embeddings:
-        problems.append("row-sharded tables already avoid the dense-grad "
-                        "blowup per shard; combine later")
     if cfg.data.session_parallel:
         problems.append("session-parallel streaming not wired up yet")
     if t.weight_decay and t.weight_decay > 0:

@@ -289,10 +289,20 @@ class Trainer:
         in_ids = (jnp.concatenate([inputs.reshape(-1), out_ids])
                   if tied else inputs.reshape(-1))
         rows = tables["item_embedding"].shape[0]
+
+        # Row-sharded composition (sparse_embed module docstring): fetch the
+        # replicated [K, D] sub-table with a shard_map psum-gather; single
+        # chip / unsharded keeps the plain take. Either way the sub-table is
+        # the differentiated leaf — no dense [V, D] cotangent exists.
+        if self._needs_vocab_shard:
+            fetch = lambda t, u: sparse_embed.sharded_sub_table(t, u, self.mesh)  # noqa: E731
+        else:
+            fetch = lambda t, u: t[u]  # noqa: E731
+
         uids_in = sparse_embed.collect_unique(
             in_ids, sparse_embed.unique_budget(in_ids.shape[0], rows)
         )
-        subs = {"in": tables["item_embedding"][uids_in]}
+        subs = {"in": fetch(tables["item_embedding"], uids_in)}
         if tied:
             uids_out = uids_in
         else:
@@ -300,7 +310,7 @@ class Trainer:
                 out_ids,
                 sparse_embed.unique_budget(out_ids.shape[0], rows),
             )
-            subs["out"] = tables["output_embedding"][uids_out]
+            subs["out"] = fetch(tables["output_embedding"], uids_out)
 
         batch_r = dict(batch)
         batch_r["inputs"] = sparse_embed.remap(uids_in, inputs)
@@ -358,10 +368,18 @@ class Trainer:
         if not tied:
             per_table.append(("output_embedding", uids_out, g_subs["out"]))
         for name, uids, g in per_table:
-            new_tables[name], new_embed_opt[name] = sparse_embed.row_update(
-                cfg.train.optimizer, lr, tables[name],
-                state.embed_opt[name], uids, g, state.step,
-            )
+            if self._needs_vocab_shard:
+                new_tables[name], new_embed_opt[name] = (
+                    sparse_embed.sharded_row_update(
+                        cfg.train.optimizer, lr, tables[name],
+                        state.embed_opt[name], uids, g, state.step, self.mesh,
+                    )
+                )
+            else:
+                new_tables[name], new_embed_opt[name] = sparse_embed.row_update(
+                    cfg.train.optimizer, lr, tables[name],
+                    state.embed_opt[name], uids, g, state.step,
+                )
 
         new_state = TrainState(
             step=state.step + 1,
