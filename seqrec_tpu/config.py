@@ -152,6 +152,12 @@ class EvalConfig:
     # (eval/chunked.py). None = auto block size; set explicitly to force
     # chunking (tests) or tune the block.
     full_chunk_items: Optional[int] = None
+    # Full protocol: mask each user's own (seen) history so it cannot outrank
+    # the held-out target — the GRU4Rec-paper convention ranks against the
+    # whole catalog; many SASRec-lineage setups exclude seen items. Applies
+    # to the dense, chunked, and sharded full-eval paths (the sampled
+    # protocol already excludes history when drawing negatives).
+    exclude_history: bool = False
     seed: int = 123
 
 

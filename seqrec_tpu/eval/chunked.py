@@ -41,12 +41,23 @@ def chunked_ranks(
     pad_id: int = 0,
     compute_dtype=jnp.bfloat16,
     chunk: int = DEFAULT_CHUNK,
+    exclude: Optional[jax.Array] = None,  # [B, T] per-row ids to exclude
 ) -> jax.Array:  # [B] int32 0-based ranks
+    """`exclude` (eval.exclude_history): per-row item ids whose columns must
+    not count against the target — semantically identical to
+    ranks_from_scores(mask_scores(scores, exclude=...)). Implemented as a
+    subtraction INSIDE each block using the block's own logits (the exact
+    values the count saw), so no recomputed-score ulp can flip a strict
+    comparison."""
     V, D = table.shape
     B = h.shape[0]
     limit = V if num_valid is None else min(num_valid, V)
     chunk = min(chunk, V)
     n_blocks = -(-V // chunk)
+    if exclude is not None:
+        from seqrec_tpu.eval.metrics import first_occurrence_2d
+
+        ex_first = first_occurrence_2d(exclude)  # [B, T]
 
     # No padded table copy: at V=10M the [V, D] table is multiple GB and a
     # second copy would defeat this module's purpose. The ragged tail block
@@ -77,9 +88,29 @@ def chunked_ranks(
         # the target as beating itself.
         not_self = cols[None, :] != targets[:, None]
         gt = logits > tgt[:, None]
-        return counts + jnp.sum(
+        counts = counts + jnp.sum(
             (gt & col_ok[None, :] & not_self).astype(jnp.int32), axis=-1
         )
+        if exclude is not None:
+            # Subtract excluded columns this block OWNS (same overlap rule as
+            # col_ok: id >= i*chunk drops the clamped tail's duplicate span),
+            # reading their scores out of THIS block's logits.
+            ex_local = exclude - start  # [B, T]
+            owned = (
+                (exclude >= i * chunk)
+                & (ex_local >= 0)
+                & (ex_local < chunk)
+                & (exclude != pad_id)
+                & (exclude < limit)
+                & (exclude != targets[:, None])
+                & ex_first
+            )
+            safe_ex = jnp.clip(ex_local, 0, chunk - 1)
+            s_ex = jnp.take_along_axis(logits, safe_ex, axis=1)  # [B, T]
+            counts = counts - jnp.sum(
+                ((s_ex > tgt[:, None]) & owned).astype(jnp.int32), axis=-1
+            )
+        return counts
 
     counts = lax.fori_loop(0, n_blocks, body, jnp.zeros((B,), jnp.int32))
     return jnp.where(jnp.isnan(tgt), limit, counts)

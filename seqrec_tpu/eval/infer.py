@@ -21,15 +21,22 @@ from seqrec_tpu.eval.metrics import mask_scores
 
 # Compiled-step cache: recommend() is called per request batch in serving;
 # a fresh @jax.jit closure per call would re-trace + re-compile every time
-# (40 s-10 min per compile on the relay). Same scheme as eval/harness.py.
-_STEP_CACHE: Dict[tuple, object] = {}
+# (40 s-10 min per compile on the relay). Same LRU-bounded scheme as
+# eval/harness.py: a serving process that rebuilds models must not leak one
+# compiled step per model forever.
+from collections import OrderedDict
+
+from seqrec_tpu.eval.harness import lru_get, lru_put
+
+_STEP_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 
 
 def _cached_topk_step(model, fetch_k, use_sharded, use_chunked, mesh, chunk):
     key = (model, fetch_k, use_sharded, use_chunked,
            mesh if use_sharded else None, chunk)
-    if key in _STEP_CACHE:
-        return _STEP_CACHE[key]
+    hit = lru_get(_STEP_CACHE, key)
+    if hit is not None:
+        return hit
 
     @jax.jit
     def step(params, inputs, mask, users):
@@ -58,7 +65,7 @@ def _cached_topk_step(model, fetch_k, use_sharded, use_chunked, mesh, chunk):
         scores = mask_scores(scores)
         return jax.lax.top_k(scores, fetch_k)
 
-    _STEP_CACHE[key] = step
+    lru_put(_STEP_CACHE, key, step)
     return step
 
 

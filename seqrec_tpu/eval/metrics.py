@@ -61,6 +61,17 @@ def finalize_metrics(sums: Dict[str, jax.Array]) -> Dict[str, float]:
     } | {"count": count}
 
 
+def first_occurrence_2d(x: jax.Array) -> jax.Array:
+    """[B, T] bool: True where x[b, t] is the first occurrence of its value
+    within row b. Used by the exclude-history rank corrections so duplicate
+    history items are discounted exactly once. O(T^2) compare — fine at the
+    session lengths this framework targets (T <= a few hundred)."""
+    eq = x[:, :, None] == x[:, None, :]  # [B, T, T]
+    t = x.shape[1]
+    earlier = jnp.tril(jnp.ones((t, t), bool), k=-1)
+    return ~jnp.any(eq & earlier[None], axis=2)
+
+
 def mask_scores(
     scores: jax.Array,  # [B, V]
     *,

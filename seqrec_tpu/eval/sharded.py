@@ -36,8 +36,14 @@ def sharded_ranks(
     bias: Optional[jax.Array] = None,  # [V]
     num_valid: Optional[int] = None,  # true vocab (mask padded rows)
     pad_id: int = 0,
+    exclude: Optional[jax.Array] = None,  # [B, T] per-row ids to exclude
 ) -> jax.Array:
-    """0-based strictly-greater rank of each target over the full catalog."""
+    """0-based strictly-greater rank of each target over the full catalog.
+
+    `exclude` (eval.exclude_history): per-row ids whose columns must not
+    count — each owner shard subtracts them using ITS OWN logits (the exact
+    values the count saw; invalid/pad columns are already NEG_INF there, so
+    they never subtract)."""
     V, H = table.shape
     M = mesh.shape[MODEL_AXIS]
     if V % M != 0:
@@ -46,8 +52,16 @@ def sharded_ranks(
     nv = num_valid if num_valid is not None else V
     has_bias = bias is not None
     bias_in = bias if has_bias else jnp.zeros((V,), table.dtype)
+    if exclude is not None:
+        from seqrec_tpu.eval.metrics import first_occurrence_2d
 
-    def _local(table_local, bias_local, h_rep, tgt_rep):
+        ex_first_in = first_occurrence_2d(exclude)
+    else:
+        # Static placeholders keep one shard_map signature.
+        exclude = jnp.zeros((h.shape[0], 1), jnp.int32)
+        ex_first_in = jnp.zeros((h.shape[0], 1), bool)
+
+    def _local(table_local, bias_local, h_rep, tgt_rep, excl, ex_first):
         shard = jax.lax.axis_index(MODEL_AXIS)
         offset = shard * rows_per_shard
         logits = jnp.einsum(
@@ -71,15 +85,33 @@ def sharded_ranks(
         greater = jnp.sum(
             (logits > t_score[:, None]).astype(jnp.int32), axis=1
         )
-        return jax.lax.psum(greater, MODEL_AXIS)  # [B]
+
+        # Exclude-history correction: subtract excluded columns THIS shard
+        # owns, scored from this shard's logits (already NEG_INF at pad /
+        # padded-vocab columns, so those never subtract).
+        local_e = excl - offset  # [B, T]
+        owned_e = (local_e >= 0) & (local_e < rows_per_shard)
+        safe_e = jnp.clip(local_e, 0, rows_per_shard - 1)
+        s_e = jnp.take_along_axis(logits, safe_e, axis=1)  # [B, T]
+        corr = jnp.sum(
+            (
+                (s_e > t_score[:, None])
+                & owned_e
+                & ex_first
+                & (excl != tgt_rep[:, None])
+            ).astype(jnp.int32),
+            axis=1,
+        )
+        return jax.lax.psum(greater - corr, MODEL_AXIS)  # [B]
 
     fn = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), P(), P()),
+        in_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS), P(), P(), P(), P()),
         out_specs=P(),
     )
-    return fn(table, bias_in, h, targets.astype(jnp.int32))
+    return fn(table, bias_in, h, targets.astype(jnp.int32),
+              exclude.astype(jnp.int32), ex_first_in)
 
 
 def sharded_topk(

@@ -66,6 +66,33 @@ def test_identical_models_share_cache_entry():
     assert len(harness._STEP_CACHE) == n
 
 
+def test_step_cache_is_bounded_lru():
+    """Churning NON-identical models must not grow the cache without bound
+    (VERDICT r2 weak #6: slow leak in a serving process). Entries are plain
+    keys here — compiling 20 real models would take minutes for nothing."""
+    saved = dict(harness._STEP_CACHE)
+    harness._STEP_CACHE.clear()
+    try:
+        for i in range(harness._STEP_CACHE_MAX + 9):
+            harness.lru_put(harness._STEP_CACHE, ("model", i), object())
+        assert len(harness._STEP_CACHE) == harness._STEP_CACHE_MAX
+        # Oldest evicted, newest retained.
+        assert harness.lru_get(harness._STEP_CACHE, ("model", 0)) is None
+        assert harness.lru_get(
+            harness._STEP_CACHE, ("model", harness._STEP_CACHE_MAX + 8)
+        ) is not None
+        # A hit refreshes recency: touch the oldest survivor, add one more,
+        # and the touched entry must survive while its neighbor is evicted.
+        oldest = ("model", 9)
+        assert harness.lru_get(harness._STEP_CACHE, oldest) is not None
+        harness.lru_put(harness._STEP_CACHE, ("model", 999), object())
+        assert harness.lru_get(harness._STEP_CACHE, oldest) is not None
+        assert harness.lru_get(harness._STEP_CACHE, ("model", 10)) is None
+    finally:
+        harness._STEP_CACHE.clear()
+        harness._STEP_CACHE.update(saved)
+
+
 def test_recommend_second_call_reuses_step():
     from seqrec_tpu.eval import infer
 
