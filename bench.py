@@ -1,31 +1,45 @@
 """Repo-root benchmark entry: prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json:2): examples/s/chip on the MovieLens-1M-shaped
-GRU4Rec next-item config (vocab ~3.4k items, T=200 bucketed to 50 here for
-the dominant bucket, sampled softmax), run on the default backend (the real
-TPU chip under the driver).
+GRU4Rec next-item config (vocab ~3.4k items, T=200, sampled softmax with
+256 negatives — matching the BASELINE.md label), run on the default backend
+(the real TPU chip under the driver).
+
+The headline number is END-TO-END: it times ``Trainer.fit``'s own loop —
+native C++ loader, DevicePrefetcher H2D staging, compiled step — not a
+staged-batch compute proxy (VERDICT r2 missing #2). The compute-only figure
+(device-resident batches, upper bound) is reported in `detail` alongside.
 
 `vs_baseline` divides by the committed single-process CPU reference number
-(BASELINE.md; measured on this machine's host CPU with the identical config
-and pure-XLA ops). Driver target: >= 3x (BASELINE.json:5).
+(BASELINE.md; measured on this machine's host CPU with the identical config,
+pure-XLA ops, same end-to-end loop). Driver target: >= 3x (BASELINE.json:5).
 
 Timing is the fetch-terminated slope method (benchmarks/timing.py): on the
 axon relay block_until_ready does not wait for compute, so earlier naive
-chain timings overstated throughput ~10x. Both the TPU number and the CPU
-baseline below were (re)measured with the honest method (2026-08-18).
+chain timings overstated throughput ~10x. All numbers here (TPU and the CPU
+baselines below) use the honest method.
 """
 
 import json
 import sys
 
 # Measured on this host's CPU with the identical config and pure-XLA ops:
-# python bench.py --cpu  -> examples_per_s_per_chip (2026-08-18,
-# fetch-terminated slope; see BASELINE.md "measured CPU baseline").
-CPU_BASELINE_EPS = 249.95
+# python bench.py --cpu  (2026-08-20, fetch-terminated slope; see BASELINE.md
+# "measured CPU baseline"). e2e = Trainer.fit's own loop incl. data pipeline
+# (slower than compute-only on CPU because host batch assembly competes with
+# XLA for the same cores; on TPU the prefetcher overlaps them instead).
+CPU_BASELINE_E2E_EPS = 93.82
+CPU_BASELINE_COMPUTE_EPS = 157.47
+
+
+def _round(d):
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in d.items()}
 
 
 def main() -> int:
-    if "--cpu" in sys.argv:
+    on_cpu = "--cpu" in sys.argv
+    if on_cpu:
         import os
 
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -35,30 +49,48 @@ def main() -> int:
         # The axon boot hook pins jax_platforms="axon,cpu"; override it.
         jax.config.update("jax_platforms", "cpu")
 
-    from benchmarks.throughput import bench_config, run_benchmark
-
-    cfg = bench_config(
-        arch="gru4rec",
-        batch_size=128,
-        max_len=200,
-        embed_dim=64,
-        num_items=3_417,  # ML-1M catalog size
-        loss="sampled_softmax",
+    from benchmarks.throughput import (
+        bench_config,
+        run_benchmark,
+        run_pipeline_benchmark,
     )
+
+    def cfg():
+        return bench_config(
+            arch="gru4rec",
+            batch_size=128,
+            max_len=200,
+            embed_dim=64,
+            num_items=3_417,  # ML-1M catalog size
+            loss="sampled_softmax",
+            num_negatives=256,  # matches the BASELINE.md config label
+        )
+
     # TPU: 100/300-step chains (~ms steps, seconds per chain). CPU: seconds
     # per STEP, so tiny chains — the slope still cancels constant overhead.
-    steps = 4 if "--cpu" in sys.argv else 100
-    result = run_benchmark(cfg, steps=steps, warmup=5)
-    eps = result["examples_per_s_per_chip"]
+    steps = 4 if on_cpu else 100
+    e2e = run_pipeline_benchmark(cfg(), steps=steps, warmup=5)
+    compute = run_benchmark(cfg(), steps=steps, warmup=5)
+    eps = e2e["examples_per_s_per_chip"]
     print(
         json.dumps(
             {
-                "metric": "examples_per_s_per_chip_ml1m_gru4rec",
+                "metric": "examples_per_s_per_chip_ml1m_gru4rec_e2e",
                 "value": round(eps, 2),
                 "unit": "examples/s/chip",
-                "vs_baseline": round(eps / CPU_BASELINE_EPS, 3),
-                "detail": {k: (round(v, 3) if isinstance(v, float) else v)
-                           for k, v in result.items()},
+                "vs_baseline": round(eps / CPU_BASELINE_E2E_EPS, 3),
+                "detail": {
+                    "e2e": _round(e2e),
+                    "compute_only": _round(compute),
+                    "compute_only_eps_per_chip": round(
+                        compute["examples_per_s_per_chip"], 2
+                    ),
+                    "compute_vs_cpu_compute": round(
+                        compute["examples_per_s_per_chip"]
+                        / CPU_BASELINE_COMPUTE_EPS,
+                        3,
+                    ),
+                },
             }
         )
     )

@@ -1,0 +1,115 @@
+"""Fused sampled-softmax head: tile sweep at SHIPPED shapes (VERDICT r2
+task 5 / SURVEY.md §2 #7).
+
+The r1/r2 measurements gated the Pallas head to S >= 1024, which no shipped
+sampled-softmax config reaches (max S=512). This sweep times fwd+bwd of the
+head at the shapes the shipped configs actually run — ml1m_sasrec /
+ml1m_lstm (B=128·T=200 -> N=25600, S=256) and synthetic10m (S=512) — for
+the XLA path vs. the Pallas kernel at several row-tile sizes (BN), using
+the fetch-terminated slope method. The outcome decides the dispatch gate:
+open it where the kernel wins >= 1.2x, otherwise demote honestly in
+PARITY.md with these numbers committed.
+
+Run on the chip: `python -m benchmarks.head_sweep`.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.timing import chain_slope_ms
+from seqrec_tpu.ops import xla as xla_ops
+from seqrec_tpu.ops.pallas import softmax_head as pl_head
+
+SHAPES = [
+    # (label, N, H, S) — N = B*T of the shipped config
+    ("ml1m_sasrec_S256_H64", 25_600, 64, 256),
+    ("ml1m_lstm_S256_H128", 25_600, 128, 256),
+    ("synthetic10m_S512_H128", 25_600, 128, 512),
+    ("gate_check_S1024_H128", 25_600, 128, 1024),
+]
+TILES = [256, 512, 1024]
+
+
+def make_step(path: str, bn: int, N: int, H: int, S: int, V: int):
+    """Returns a jitted fwd+bwd chain step over (h, pos_emb, neg_emb)."""
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(rng.integers(1, V, N), jnp.int32)
+    neg_ids = jnp.asarray(rng.integers(1, V, S), jnp.int32)
+    weights = jnp.ones((N,), jnp.float32)
+    plq = jnp.zeros((N,), jnp.float32)
+    nlq = jnp.zeros((S,), jnp.float32)
+
+    if path == "pallas":
+        fn = pl_head.sampled_softmax_loss
+    else:
+        fn = xla_ops.sampled_softmax_loss
+
+    def loss(h, pos, neg):
+        s, w = fn(h, pos, neg, targets, neg_ids, weights,
+                  pos_log_q=plq, neg_log_q=nlq)
+        return s / w
+
+    grad = jax.value_and_grad(loss, argnums=(0, 1, 2))
+
+    @jax.jit
+    def step(carry, _i):
+        h, pos, neg = carry
+        pl_head.BN  # noqa: B018 — documents the trace-time dependency
+        _, (dh, dp, dn) = grad(h, pos, neg)
+        lr = jnp.bfloat16(1e-6)
+        return (h - lr * dh.astype(h.dtype),
+                pos - lr * dp.astype(pos.dtype),
+                neg - lr * dn.astype(neg.dtype))
+
+    def seed():
+        k = jax.random.key(1)
+        kh, kp, kn = jax.random.split(k, 3)
+        return (
+            jax.random.normal(kh, (N, H), jnp.bfloat16),
+            jax.random.normal(kp, (N, H), jnp.bfloat16),
+            jax.random.normal(kn, (S, H), jnp.bfloat16),
+        )
+
+    return step, seed
+
+
+def main() -> int:
+    results = []
+    for label, N, H, S in SHAPES:
+        V = 100_000
+        step, seed = make_step("xla", 0, N, H, S, V)
+        ms_xla, det = chain_slope_ms(step, seed, n_short=30, n_long=90)
+        row = {"shape": label, "N": N, "H": H, "S": S,
+               "xla_ms": round(ms_xla, 4), "xla_reliable": det["reliable"]}
+        for bn in TILES:
+            old = pl_head.BN
+            pl_head.BN = bn
+            try:
+                step, seed = make_step("pallas", bn, N, H, S, V)
+                ms, det = chain_slope_ms(step, seed, n_short=30, n_long=90)
+                row[f"pallas_bn{bn}_ms"] = round(ms, 4)
+                row[f"pallas_bn{bn}_reliable"] = det["reliable"]
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                row[f"pallas_bn{bn}_ms"] = f"error: {type(e).__name__}"
+            finally:
+                pl_head.BN = old
+        best = min(
+            (v for k, v in row.items()
+             if k.startswith("pallas_bn") and isinstance(v, float)),
+            default=float("nan"),
+        )
+        row["best_pallas_over_xla"] = (
+            round(ms_xla / best, 3) if best == best else None
+        )
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

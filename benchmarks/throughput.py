@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from benchmarks.timing import chain_slope_ms, fetch_scalar
+from benchmarks.timing import chain_slope_ms, fetch_scalar, run_slope_ms
 from seqrec_tpu.config import RunConfig
 from seqrec_tpu.data.dataset import synthetic_dataset
 from seqrec_tpu.train.trainer import Trainer
@@ -86,6 +86,76 @@ def run_benchmark(
     }
 
 
+def run_pipeline_benchmark(
+    cfg: RunConfig,
+    *,
+    steps: int = 100,
+    warmup: int = 5,
+) -> Dict[str, float]:
+    """END-TO-END throughput: times ``Trainer.fit``'s OWN loop — native (or
+    Python) loader, ``DevicePrefetcher`` H2D staging, and the compiled step —
+    not a staged-batch compute proxy (VERDICT r2 missing #2; SURVEY.md §2 #16).
+
+    Method: ``fit()`` is itself a serially-dependent chain (the train state
+    threads through every step), so a full ``fit(num_steps=n)`` followed by a
+    host fetch of the final state is a valid fetch-terminated chain. The
+    reported number is the slope between a short and a long run, which
+    cancels per-call setup (iterator build, prefetch thread spin-up,
+    executable-cache lookup, state init)."""
+    ds = synthetic_dataset(
+        num_users=max(cfg.data.batch_size * 4, 512),
+        num_items=cfg.data.synthetic_num_items,
+        seed=cfg.data.seed,
+        min_len=min(cfg.data.max_len, 20),
+        max_len=cfg.data.max_len + 1,
+    )
+    # fit() must run bare: no checkpoints, no eval, no per-step host syncs.
+    cfg.train.out_dir = ""
+    cfg.train.checkpoint_every = 0
+    cfg.train.eval_every = 0
+    cfg.train.log_every = 1_000_000_000
+    cfg.train.debug_nans = False
+    tr = Trainer(cfg, ds=ds)
+
+    def run(n: int) -> None:
+        cfg.train.num_steps = n
+        state, _ = tr.fit()
+        fetch_scalar(state)
+
+    t_compile = time.perf_counter()
+    run(max(warmup, 1))  # compile (init + per-bucket step executables)
+    warmup_s = time.perf_counter() - t_compile
+
+    step_ms, detail = run_slope_ms(run, n_short=steps, n_long=3 * steps)
+    finite = np.isfinite(step_ms) and step_ms > 0
+    eps = tr.global_batch / (step_ms / 1e3) if finite else 0.0
+    n_dev = tr.num_devices
+    return {
+        "steps": steps,
+        "global_batch": tr.global_batch,
+        "seq_len": cfg.data.max_len,
+        "num_devices": n_dev,
+        "step_time_ms": step_ms if finite else float("nan"),
+        "examples_per_s": eps,
+        "examples_per_s_per_chip": eps / n_dev,
+        "chain_short_s": detail["chain_short_s"],
+        "chain_long_s": detail["chain_long_s"],
+        "reliable": detail["reliable"],
+        "warmup_s": warmup_s,
+        "loader": "native" if _native_loader_active(cfg) else "python",
+        "prefetch_depth": cfg.data.prefetch_to_device,
+        "backend": jax.default_backend(),
+    }
+
+
+def _native_loader_active(cfg: RunConfig) -> bool:
+    if not cfg.data.use_native_loader or cfg.data.session_parallel:
+        return False
+    from seqrec_tpu.data import native
+
+    return native.available()
+
+
 def bench_config(
     arch: str = "gru4rec",
     *,
@@ -96,6 +166,7 @@ def bench_config(
     loss: str = "full_softmax",
     use_pallas: bool = True,
     num_layers: int = 1,
+    num_negatives: Optional[int] = None,
 ) -> RunConfig:
     cfg = RunConfig()
     cfg.model.arch = arch
@@ -103,6 +174,8 @@ def bench_config(
     cfg.model.num_layers = num_layers
     cfg.model.max_len = max_len
     cfg.model.loss = loss
+    if num_negatives is not None:
+        cfg.model.num_negatives = num_negatives
     cfg.model.dropout_rate = 0.0
     cfg.model.use_pallas = use_pallas
     cfg.data.batch_size = batch_size

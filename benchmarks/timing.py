@@ -47,6 +47,37 @@ def fetch_scalar(carry: Carry) -> float:
     return float(jnp.asarray(x).view(jnp.uint8).reshape(-1)[0])
 
 
+def _paired_slope(
+    times: dict, n_short: int, n_long: int, reps: int
+) -> Tuple[float, dict]:
+    """Best per-rep positive slope from paired (short, long) chain timings.
+
+    Pair each rep's (short, long) measured back-to-back: relay round-trip
+    latency drifts over minutes, and mixing the min-short of one moment
+    with the min-long of another can even make the slope NEGATIVE when
+    chains are much shorter than the drift (seen with 20/60-step chains
+    of a sub-ms model). Take the best per-rep slope that is positive.
+    """
+    slopes = [
+        (times[n_long][r] - times[n_short][r]) / (n_long - n_short) * 1e3
+        for r in range(reps)
+    ]
+    positive = [s for s in slopes if s > 0]
+    slope = min(positive) if positive else float("nan")
+    # Signal strength: the long/short difference should dwarf drift (~10 ms
+    # scale on this relay); below that, the number is noise.
+    best_r = slopes.index(slope) if positive else 0
+    diff_s = times[n_long][best_r] - times[n_short][best_r]
+    return slope, {
+        "chain_short_s": times[n_short][best_r],
+        "chain_long_s": times[n_long][best_r],
+        "n_short": n_short,
+        "n_long": n_long,
+        "reps": reps,
+        "reliable": bool(positive) and diff_s > 0.05,
+    }
+
+
 def chain_slope_ms(
     step: Callable[[Carry, int], Carry],
     seed: Callable[[], Carry],
@@ -76,26 +107,29 @@ def chain_slope_ms(
                 c = step(c, i + 1)
             fetch_scalar(c)
             times[n].append(time.perf_counter() - t0)
-    # Pair each rep's (short, long) measured back-to-back: relay round-trip
-    # latency drifts over minutes, and mixing the min-short of one moment
-    # with the min-long of another can even make the slope NEGATIVE when
-    # chains are much shorter than the drift (seen with 20/60-step chains
-    # of a sub-ms model). Take the best per-rep slope that is positive.
-    slopes = [
-        (times[n_long][r] - times[n_short][r]) / (n_long - n_short) * 1e3
-        for r in range(reps)
-    ]
-    positive = [s for s in slopes if s > 0]
-    slope = min(positive) if positive else float("nan")
-    # Signal strength: the long/short difference should dwarf drift (~10 ms
-    # scale on this relay); below that, the number is noise.
-    best_r = slopes.index(slope) if positive else 0
-    diff_s = times[n_long][best_r] - times[n_short][best_r]
-    return slope, {
-        "chain_short_s": times[n_short][best_r],
-        "chain_long_s": times[n_long][best_r],
-        "n_short": n_short,
-        "n_long": n_long,
-        "reps": reps,
-        "reliable": bool(positive) and diff_s > 0.05,
-    }
+    return _paired_slope(times, n_short, n_long, reps)
+
+
+def run_slope_ms(
+    run: Callable[[int], None],
+    *,
+    n_short: int = 50,
+    n_long: int = 150,
+    reps: int = 2,
+) -> Tuple[float, dict]:
+    """Per-step wall time (ms) of a SELF-CONTAINED chain runner.
+
+    `run(n)` must execute an n-step serially-dependent chain AND end with a
+    host fetch of a value derived from the final carry (so the wall time of
+    run(n) covers all n steps even through the async relay). Per-call setup
+    (iterator construction, prefetch threads, compiled-executable lookup) is
+    constant in n and cancels in the slope — this is how end-to-end loops
+    like Trainer.fit are timed honestly.
+    """
+    times = {n_short: [], n_long: []}
+    for _ in range(reps):
+        for n in (n_short, n_long):
+            t0 = time.perf_counter()
+            run(n)
+            times[n].append(time.perf_counter() - t0)
+    return _paired_slope(times, n_short, n_long, reps)

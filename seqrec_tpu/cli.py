@@ -67,7 +67,7 @@ def cmd_eval(args) -> int:
     state = tr.init_state()
     ckpt_dir = args.ckpt or f"{cfg.train.out_dir}/ckpt"
     mgr = CheckpointManager(ckpt_dir)
-    state, step, _ = mgr.restore(abstract_like(state))
+    state, step, _, _ = mgr.restore(abstract_like(state))
     m = tr.evaluate(state, split=args.split)
     print(json.dumps({"step": step, "split": args.split, **m}))
     return 0
@@ -104,7 +104,7 @@ def cmd_recommend(args) -> int:
     state = tr.init_state()
     ckpt_dir = args.ckpt or f"{cfg.train.out_dir}/ckpt"
     mgr = CheckpointManager(ckpt_dir)
-    state, _, _ = mgr.restore(abstract_like(state))
+    state, _, _, _ = mgr.restore(abstract_like(state))
 
     def read_histories():
         src = open(args.input) if args.input else _sys.stdin

@@ -24,20 +24,34 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
-    def save(self, step: int, state: Any, data_position: int) -> None:
+    def save(
+        self,
+        step: int,
+        state: Any,
+        data_position: int,
+        data_state: Optional[dict] = None,
+    ) -> None:
+        """`data_state` is an optional JSON-serializable pipeline snapshot
+        for streams whose position is not a pure batch count (the
+        session-parallel SessionStream lane cursors, SURVEY.md §5.4)."""
+        meta = {"data_position": int(data_position)}
+        if data_state is not None:
+            meta["data_state"] = data_state
         self._mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave({"data_position": int(data_position)}),
+                meta=ocp.args.JsonSave(meta),
             ),
         )
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: Any) -> Tuple[Any, int, int]:
-        """Returns (state, step, data_position)."""
+    def restore(
+        self, abstract_state: Any
+    ) -> Tuple[Any, int, int, Optional[dict]]:
+        """Returns (state, step, data_position, data_state)."""
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self._dir}")
@@ -48,7 +62,13 @@ class CheckpointManager:
                 meta=ocp.args.JsonRestore(),
             ),
         )
-        return out["state"], step, int(out["meta"]["data_position"])
+        meta = out["meta"]
+        return (
+            out["state"],
+            step,
+            int(meta["data_position"]),
+            meta.get("data_state"),
+        )
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
