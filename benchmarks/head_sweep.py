@@ -83,7 +83,9 @@ def main() -> int:
     for label, N, H, S in SHAPES:
         V = 100_000
         step, seed = make_step("xla", 0, N, H, S, V)
-        ms_xla, det = chain_slope_ms(step, seed, n_short=30, n_long=90)
+        # ~0.1 ms ops: the long/short gap must dwarf relay drift (>50 ms),
+        # so chains are 500/2000 steps.
+        ms_xla, det = chain_slope_ms(step, seed, n_short=500, n_long=2000)
         row = {"shape": label, "N": N, "H": H, "S": S,
                "xla_ms": round(ms_xla, 4), "xla_reliable": det["reliable"]}
         for bn in TILES:
@@ -91,7 +93,8 @@ def main() -> int:
             pl_head.BN = bn
             try:
                 step, seed = make_step("pallas", bn, N, H, S, V)
-                ms, det = chain_slope_ms(step, seed, n_short=30, n_long=90)
+                ms, det = chain_slope_ms(step, seed, n_short=500,
+                                         n_long=2000)
                 row[f"pallas_bn{bn}_ms"] = round(ms, 4)
                 row[f"pallas_bn{bn}_reliable"] = det["reliable"]
             except Exception as e:  # noqa: BLE001 — record, keep sweeping

@@ -23,20 +23,33 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN = 256  # rows per grid step
+BN: Optional[int] = None  # rows per grid step; None = auto (_row_tile)
 NEG_INF = -1e30
+
+
+def _row_tile(S: int) -> int:
+    """Rows per grid step. Measured on-chip (v5e, N=25600, fwd+bwd chains,
+    benchmarks/head_sweep.py 2026-08-20): at S=512 the tall 1024-row tile is
+    best (0.112 ms vs 0.140 at BN=256); at S≥1024 the [BN, S] block dominates
+    VMEM so the shorter tile wins. BN (module-level) overrides for sweeps."""
+    if BN is not None:
+        return BN
+    return 1024 if S <= 512 else 256
 
 
 def supported(h: jax.Array, neg_emb: jax.Array) -> bool:
     N, H = h.shape
     S = neg_emb.shape[0]
-    # Measured on-chip (v5e, N=6400 H=256, fwd+bwd, fetch-terminated slope —
-    # see benchmarks/timing.py): fused head wins 3.5x at S=1024 (0.076 vs
-    # 0.267 ms) where skipping the [N, S] HBM round-trip pays; XLA wins ~2x
-    # at S≤512 (S=512: 0.392 vs 0.172; S=256: 0.346 vs 0.077), so gate to
-    # S ≥ 1024. neg_emb + per-tile blocks must also fit comfortably in VMEM.
-    vmem = 4 * (S * H + BN * (2 * H + 2 * S))
-    return (H % 8 == 0 and S % 8 == 0 and S >= 1024
+    # Measured on-chip at SHIPPED shapes (v5e, N=B*T=25600, fwd+bwd,
+    # fetch-terminated slope, benchmarks/head_sweep.py 2026-08-20): the fused
+    # head wins 2.2x at S=512/H=128 — the synthetic10m config's head shape —
+    # (0.112 vs 0.248 ms XLA, BN=1024) and is parity at S=1024/H=128 (0.536
+    # vs 0.557); at S=256 XLA's fusion is at parity or better (H=64: 0.133
+    # both; H=128: 0.110 XLA vs 0.115), so the gate opens at S ≥ 512.
+    # neg_emb + per-tile blocks must also fit comfortably in VMEM.
+    bn = _row_tile(S)
+    vmem = 4 * (S * H + bn * (2 * H + 2 * S))
+    return (H % 8 == 0 and S % 8 == 0 and S >= 512
             and vmem < 8 * 1024 * 1024)
 
 
@@ -68,27 +81,28 @@ def _head_pallas(h, pos_emb, neg_emb, targets, neg_ids, pos_log_q, neg_log_q,
                  interpret=False):
     N, H = h.shape
     S = neg_emb.shape[0]
-    n_pad = ((N + BN - 1) // BN) * BN
+    bn = _row_tile(S)
+    n_pad = ((N + bn - 1) // bn) * bn
     pad = n_pad - N
     if pad:
         h = jnp.pad(h, ((0, pad), (0, 0)))
         pos_emb = jnp.pad(pos_emb, ((0, pad), (0, 0)))
         targets = jnp.pad(targets, (0, pad))
         pos_log_q = jnp.pad(pos_log_q, (0, pad))
-    grid = (n_pad // BN,)
+    grid = (n_pad // bn,)
     nll = pl.pallas_call(
         _head_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BN, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BN, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bn, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         interpret=interpret,
