@@ -58,6 +58,19 @@ def shipped_shapes() -> Dict[str, RunConfig]:
         num_layers=2, num_items=3_417, loss="sampled_softmax",
         num_negatives=256,
     )
+
+    # MXU-feed demonstrations: the shipped research configs are small
+    # (latency-bound on a v5e); these wider rows show MFU headroom is a
+    # model-size property, not a framework ceiling.
+    out["sasrec_2xD256_B256_T200_S512"] = bench_config(
+        arch="sasrec", batch_size=256, max_len=200, embed_dim=256,
+        num_layers=2, num_items=100_000, loss="sampled_softmax",
+        num_negatives=512,
+    )
+    out["gru4rec_D512_B256_T200_S512"] = bench_config(
+        arch="gru4rec", batch_size=256, max_len=200, embed_dim=512,
+        num_items=100_000, loss="sampled_softmax", num_negatives=512,
+    )
     return out
 
 
@@ -84,9 +97,14 @@ def step_flops(cfg: RunConfig) -> Optional[float]:
 
 
 def main() -> int:
+    import sys
+
+    pats = sys.argv[1:]  # optional substring filters on shape names
     backend = jax.default_backend()
     peak = PEAK_FLOPS.get(backend, float("nan"))
     for name, cfg in shipped_shapes().items():
+        if pats and not any(p in name for p in pats):
+            continue
         flops = step_flops(cfg)
         res = run_benchmark(cfg, steps=100, warmup=5)
         ms = res["step_time_ms"]
