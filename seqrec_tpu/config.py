@@ -136,6 +136,16 @@ class TrainConfig:
     # adagrad/sgd match dense updates exactly, adam becomes lazy-adam
     # (untouched rows skip moment decay). See train/sparse_embed.py.
     sparse_embedding_update: bool = False
+    # Steps executed per compiled call: fit() groups this many consecutive
+    # same-bucket batches into ONE [K, B, T+2] wire transfer and ONE
+    # lax.scan'd executable, amortizing per-step host dispatch + H2D
+    # overhead (the measured e2e/compute gap on the relay). The math is
+    # IDENTICAL to K single steps — same batches, order, and per-step RNG
+    # (folded on state.step) — only the host cadence quantizes: log/eval/
+    # checkpoint fire at the first group boundary past their step. Ignored
+    # (forced to 1) under debug_nans, which needs per-step halt granularity;
+    # session-parallel and non-canonical batches fall back to single steps.
+    steps_per_call: int = 1
 
 
 @dataclass

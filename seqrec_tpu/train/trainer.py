@@ -34,6 +34,50 @@ from seqrec_tpu.train.state import TrainState, make_optimizer, make_schedule
 from seqrec_tpu.utils.logging import Heartbeat, MetricsLogger
 
 
+def _crossed(every: int, lo: int, hi: int) -> bool:
+    """True when any step s in [lo, hi) satisfies (s + 1) % every == 0 —
+    the multi-step generalization of fit()'s cadence checks (at hi == lo + 1
+    it reduces exactly to the old (step + 1) % every == 0)."""
+    return every > 0 and (hi // every) > (lo // every)
+
+
+def _group_wires(it, pack, k: int, limit: int):
+    """Group up to `k` consecutive same-bucket canonical batches from `it`
+    into one stacked [k, B, T+2] wire array (train.steps_per_call). Yields
+    (bucket, payload) with payload one of: a stacked np group, a single
+    [B, T+2] np wire, or the original dict when `pack` declines the batch
+    (non-canonical). Order is preserved exactly; at most `limit` batches are
+    ever emitted inside full groups so fit() never overshoots num_steps."""
+    buf = []  # staged (bucket, wire) with identical bucket + shape
+    emitted = 0
+    for bucket, batch in it:
+        wire = pack(batch)
+        if buf and (
+            wire is None
+            or bucket != buf[0][0]
+            or wire.shape != buf[0][1].shape
+        ):
+            for b, w in buf:
+                yield b, w
+            emitted += len(buf)
+            buf = []
+        if wire is None:
+            yield bucket, batch
+            emitted += 1
+            continue
+        buf.append((bucket, wire))
+        if len(buf) == k:
+            if emitted + k <= limit:
+                yield bucket, np.stack([w for _, w in buf])
+            else:  # tail: not enough steps left for a full group
+                for b, w in buf:
+                    yield b, w
+            emitted += k
+            buf = []
+    for b, w in buf:
+        yield b, w
+
+
 class Trainer:
     def __init__(self, cfg: RunConfig, ds: Optional[SequenceDataset] = None,
                  mesh: Optional[Mesh] = None):
@@ -71,6 +115,14 @@ class Trainer:
 
         self._train_step = jax.jit(
             self._train_step_impl,
+            donate_argnums=(0,),
+        )
+        # Grouped wire batches [K, B, T+2]: batch rows live on axis 1.
+        self._multi_batch_sharding = NamedSharding(
+            self.mesh, P(None, (DATA_AXIS, MODEL_AXIS))
+        )
+        self._train_step_multi = jax.jit(
+            self._train_step_multi_impl,
             donate_argnums=(0,),
         )
 
@@ -261,6 +313,29 @@ class Trainer:
             "nonfinite": nonfinite,
         }
         return new_state, metrics
+
+    def _train_step_multi_impl(
+        self, state: TrainState, wires: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """K train steps in ONE executable: lax.scan of the single-step body
+        over a [K, B, T+2] group of wire batches (train.steps_per_call).
+        Bitwise-identical math to K separate calls — the per-step RNG folds
+        on state.step exactly as in _train_step_impl — but one host dispatch
+        and one H2D transfer amortize the relay overhead that separates the
+        e2e number from the compute-only one (BASELINE.md)."""
+
+        def body(s, wire):
+            s2, m = self._train_step_impl(s, wire)
+            return s2, m
+
+        state, ms = jax.lax.scan(body, state, wires)
+        metrics = {
+            "loss": ms["loss"].mean(),
+            "tokens": ms["tokens"].sum(),
+            "grad_norm": ms["grad_norm"][-1],
+            "nonfinite": ms["nonfinite"].any(),
+        }
+        return state, metrics
 
     def _sparse_table_names(self):
         names = ["item_embedding"]
@@ -459,7 +534,13 @@ class Trainer:
             "users": users,
         }
 
-    def put_batch(self, batch: Dict[str, np.ndarray]):
+    def put_batch(self, batch):
+        if isinstance(batch, np.ndarray):
+            # Pre-packed wire: [B, T+2] single or [K, B, T+2] group
+            # (fit()'s steps_per_call grouping packs on the feeder thread).
+            sh = (self._multi_batch_sharding if batch.ndim == 3
+                  else self._batch_sharding)
+            return jax.make_array_from_process_local_data(sh, batch)
         packed = (
             self.pack_train_batch(batch) if isinstance(batch, dict) else None
         )
@@ -536,8 +617,25 @@ class Trainer:
             else:
                 dummy["users"] = np.zeros((self.local_batch,), np.int32)
             self._train_step.lower(state, self.put_batch(dummy)).compile()
+            spc = self._steps_per_call()
+            if spc > 1:
+                wires = np.zeros(
+                    (spc, self.local_batch, b + 2), self._wire_dtype
+                )
+                self._train_step_multi.lower(
+                    state, self.put_batch(wires)
+                ).compile()
 
     # ---- the loop --------------------------------------------------------
+
+    def _steps_per_call(self) -> int:
+        """Effective train.steps_per_call: grouping needs the canonical wire
+        format (session windows carry reset planes) and debug_nans needs
+        per-step halt granularity."""
+        spc = max(1, int(self.cfg.train.steps_per_call))
+        if self.cfg.train.debug_nans or self.cfg.data.session_parallel:
+            return 1
+        return spc
 
     def fit(self, state: Optional[TrainState] = None) -> Tuple[TrainState, Dict[str, float]]:
         cfg = self.cfg
@@ -585,6 +683,19 @@ class Trainer:
                 return it.state_at(data_position)
             return None
 
+        start_step = int(jax.device_get(state.step))
+
+        # Multi-step grouping (train.steps_per_call): pack + stack K
+        # consecutive same-bucket batches on the feeder side so the loop
+        # below makes one dispatch + one transfer per K steps.
+        spc = self._steps_per_call()
+        src: Iterator = it
+        if spc > 1:
+            src = _group_wires(
+                it, self.pack_train_batch, spc,
+                cfg.train.num_steps - start_step,
+            )
+
         # Host→device prefetch (SURVEY.md §2 #16): stage upcoming batches in
         # HBM from a background thread so the hot loop below never blocks on
         # host batch assembly or the H2D copy. Built AFTER precompile and
@@ -592,13 +703,11 @@ class Trainer:
         prefetcher: Optional[DevicePrefetcher] = None
         if cfg.data.prefetch_to_device > 0:
             prefetcher = DevicePrefetcher(
-                it, self.put_batch, depth=cfg.data.prefetch_to_device
+                src, self.put_batch, depth=cfg.data.prefetch_to_device
             )
             feed: Iterator = prefetcher
         else:
-            feed = ((b, self.put_batch(h)) for b, h in it)
-
-        start_step = int(jax.device_get(state.step))
+            feed = ((b, self.put_batch(h)) for b, h in src)
         pending: Optional[Dict[str, jax.Array]] = None
         pending_step = 0
         t_window = time.perf_counter()
@@ -607,32 +716,48 @@ class Trainer:
         profiling = False
 
         try:
-          for step in range(start_step, cfg.train.num_steps):
+          step = start_step
+          while step < cfg.train.num_steps:
+            bucket, batch = next(feed)
+            # Grouped wire batches are [K, B, T+2] device arrays; everything
+            # else (dict or single wire) is one step. Cadence checks below
+            # fire when their boundary falls anywhere inside [step, hi).
+            k = (
+                batch.shape[0]
+                if not isinstance(batch, dict) and batch.ndim == 3
+                else 1
+            )
+            hi = step + k
             if (
                 cfg.train.profile_dir
-                and step == cfg.train.profile_steps[0]
+                and not profiling
+                and step <= cfg.train.profile_steps[0] < hi
                 and jax.process_index() == 0
             ):
                 jax.profiler.start_trace(cfg.train.profile_dir)
                 profiling = True
-            bucket, batch = next(feed)
-            data_position += 1
-            state, metrics = self._train_step(state, batch)
-            examples_window += self.global_batch
-            pending, pending_step = metrics, step
+            data_position += k
+            if k > 1:
+                state, metrics = self._train_step_multi(state, batch)
+            else:
+                state, metrics = self._train_step(state, batch)
+            examples_window += self.global_batch * k
+            pending, pending_step = metrics, hi - 1
 
             if cfg.train.debug_nans and bool(
                 jax.device_get(metrics["nonfinite"])
             ):
+                # _steps_per_call() forces k == 1 here, so hi - 1 is the
+                # exact failing step.
                 if ckpt is not None:
                     ckpt.wait()
-                logger.log(step, "fatal", {"nonfinite_grads_at": step})
+                logger.log(hi - 1, "fatal", {"nonfinite_grads_at": hi - 1})
                 raise FloatingPointError(
-                    f"non-finite loss/gradients at step {step} "
+                    f"non-finite loss/gradients at step {hi - 1} "
                     "(train.debug_nans); last finite checkpoint is intact"
                 )
 
-            if (step + 1) % cfg.train.log_every == 0:
+            if _crossed(cfg.train.log_every, step, hi):
                 m = jax.device_get(pending)
                 dt = time.perf_counter() - t_window
                 eps = examples_window / dt if dt > 0 else 0.0
@@ -651,30 +776,33 @@ class Trainer:
                 t_window = time.perf_counter()
                 examples_window = 0
                 if heartbeat:
-                    heartbeat.beat(step)
+                    heartbeat.beat(pending_step)
 
-            if profiling and step == cfg.train.profile_steps[1]:
+            if profiling and step <= cfg.train.profile_steps[1] < hi:
                 jax.profiler.stop_trace()
                 profiling = False
 
-            if cfg.train.eval_every > 0 and (step + 1) % cfg.train.eval_every == 0:
+            if _crossed(cfg.train.eval_every, step, hi):
                 last_eval = self.evaluate(state, split="val")
-                logger.log(step, "eval/val", last_eval)
+                logger.log(pending_step, "eval/val", last_eval)
                 t_window = time.perf_counter()
                 examples_window = 0
 
-            if ckpt is not None and (step + 1) % cfg.train.checkpoint_every == 0:
-                ckpt.save(step + 1, state, data_position,
+            if ckpt is not None and _crossed(
+                cfg.train.checkpoint_every, step, hi
+            ):
+                ckpt.save(hi, state, data_position,
                           data_state=pipeline_state())
 
-            if cfg.train.fail_after_step is not None and step + 1 >= cfg.train.fail_after_step:
+            if cfg.train.fail_after_step is not None and hi >= cfg.train.fail_after_step:
                 if ckpt is not None:
-                    if ckpt.latest_step() != step + 1:
-                        ckpt.save(step + 1, state, data_position,
+                    if ckpt.latest_step() != hi:
+                        ckpt.save(hi, state, data_position,
                                   data_state=pipeline_state())
                     ckpt.wait()
-                logger.log(step, "fault_injection", {"exit_at": step + 1})
+                logger.log(hi - 1, "fault_injection", {"exit_at": hi})
                 return state, last_eval
+            step = hi
         finally:
             if prefetcher is not None:
                 prefetcher.close()
