@@ -29,14 +29,18 @@ def run_benchmark(
     steps: int = 100,
     warmup: int = 10,
     num_staged_batches: int = 8,
+    ds=None,
 ) -> Dict[str, float]:
-    ds = synthetic_dataset(
-        num_users=max(cfg.data.batch_size * 4, 512),
-        num_items=cfg.data.synthetic_num_items,
-        seed=cfg.data.seed,
-        min_len=min(cfg.data.max_len, 20),
-        max_len=cfg.data.max_len + 1,
-    )
+    """`ds` overrides the default long-sequence synthetic dataset — the
+    session-parallel benchmark passes a short-session (rsc15-like) stream."""
+    if ds is None:
+        ds = synthetic_dataset(
+            num_users=max(cfg.data.batch_size * 4, 512),
+            num_items=cfg.data.synthetic_num_items,
+            seed=cfg.data.seed,
+            min_len=min(cfg.data.max_len, 20),
+            max_len=cfg.data.max_len + 1,
+        )
     tr = Trainer(cfg, ds=ds)
 
     # Stage a few distinct batches on device; cycle through them.
@@ -91,6 +95,7 @@ def run_pipeline_benchmark(
     *,
     steps: int = 100,
     warmup: int = 5,
+    ds=None,
 ) -> Dict[str, float]:
     """END-TO-END throughput: times ``Trainer.fit``'s OWN loop — native (or
     Python) loader, ``DevicePrefetcher`` H2D staging, and the compiled step —
@@ -101,14 +106,17 @@ def run_pipeline_benchmark(
     host fetch of the final state is a valid fetch-terminated chain. The
     reported number is the slope between a short and a long run, which
     cancels per-call setup (iterator build, prefetch thread spin-up,
-    executable-cache lookup, state init)."""
-    ds = synthetic_dataset(
-        num_users=max(cfg.data.batch_size * 4, 512),
-        num_items=cfg.data.synthetic_num_items,
-        seed=cfg.data.seed,
-        min_len=min(cfg.data.max_len, 20),
-        max_len=cfg.data.max_len + 1,
-    )
+    executable-cache lookup, state init). `ds` as in run_benchmark. With
+    cfg.train.steps_per_call set, pick `steps` divisible by it (a
+    non-multiple tail degrades to single dispatches and skews the slope)."""
+    if ds is None:
+        ds = synthetic_dataset(
+            num_users=max(cfg.data.batch_size * 4, 512),
+            num_items=cfg.data.synthetic_num_items,
+            seed=cfg.data.seed,
+            min_len=min(cfg.data.max_len, 20),
+            max_len=cfg.data.max_len + 1,
+        )
     # fit() must run bare: no checkpoints, no eval, no per-step host syncs.
     cfg.train.out_dir = ""
     cfg.train.checkpoint_every = 0

