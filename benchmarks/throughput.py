@@ -157,7 +157,7 @@ def run_pipeline_benchmark(
 
 
 def _native_loader_active(cfg: RunConfig) -> bool:
-    if not cfg.data.use_native_loader or cfg.data.session_parallel:
+    if not cfg.data.use_native_loader:
         return False
     from seqrec_tpu.data import native
 

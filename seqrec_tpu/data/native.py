@@ -83,6 +83,27 @@ def _load() -> Optional[ctypes.CDLL]:
                 ]
                 lib.srd_destroy.restype = None
                 lib.srd_destroy.argtypes = [ctypes.c_void_p]
+                lib.srs_create.restype = ctypes.c_void_p
+                lib.srs_create.argtypes = [
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
+                lib.srs_next.restype = ctypes.c_int
+                lib.srs_next.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
+                lib.srs_destroy.restype = None
+                lib.srs_destroy.argtypes = [ctypes.c_void_p]
                 _lib = lib
                 return _lib
     return None
@@ -170,6 +191,183 @@ class NativeTrainLoader:
     def close(self) -> None:
         if self._handle is not None:
             self._lib.srd_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeSessionLoader:
+    """Infinite session-parallel packed stream from the C++ engine.
+
+    Yields ``(window, payload)`` where payload is a ready [B, T+E+W] wire
+    array (trainer's compact session format, packed in C++) or — when a
+    window has more session ends than the boundary budget E — the raw
+    {inputs, targets, mask, reset} planes. Same stream semantics as
+    data/batching.SessionStream (lanes, epochs, per-shard users, O(1)
+    snapshot resume); the shuffle engine is the C++ mt19937_64, so the two
+    loaders are deterministic alternates, not bit-identical streams — a
+    checkpoint must be resumed by the loader kind that wrote it
+    (state["engine"] records which; SessionStream snapshots carry no such
+    key and predate this loader).
+    """
+
+    def __init__(
+        self,
+        ds: SequenceDataset,
+        *,
+        batch_size: int,
+        window: int,
+        ends_budget: int,
+        wire_dtype=np.int16,
+        seed: int = 0,
+        host_shard: Tuple[int, int] = (0, 1),
+        hold_out: int = 2,
+        prefetch: int = 4,
+        snapshot_depth: int = 16,
+        state: Optional[dict] = None,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native data engine not built; run `make -C native`"
+            )
+        self._lib = lib
+        self._ds = ds
+        self.batch_size = batch_size
+        self.window = window
+        self.ends_budget = ends_budget
+        self._wire_dtype = wire_dtype
+        self._seed = seed
+        self._host_shard = host_shard
+        self._hold_out = hold_out
+        self._prefetch = prefetch
+        self._snapshot_depth = snapshot_depth
+        self._items = np.ascontiguousarray(ds.items, dtype=np.int32)
+        self._offsets = np.ascontiguousarray(ds.offsets, dtype=np.int64)
+        W = (window + 7) // 8
+        self._wire = np.empty((batch_size, window + ends_budget + W), np.int32)
+        self._inputs = np.empty((batch_size, window), np.int32)
+        self._targets = np.empty((batch_size, window), np.int32)
+        self._reset = np.empty((batch_size, window), np.float32)
+        self._snap = np.empty((2 + 3 * batch_size,), np.int64)
+        self._snapshots: list = []
+        self._pending = None  # one-slot pushback for state_at's peek
+        self._count = 0
+        self._handle = None
+        self._open(state)
+
+    def _open(self, state: Optional[dict]) -> None:
+        if state is None:
+            epoch, pos, lanes_ptr = -1, 0, None
+        else:
+            epoch = int(state["epoch"])
+            pos = int(state["pos"])
+            lanes = np.full((self.batch_size, 3), -1, np.int64)
+            for r, l in enumerate(state["lanes"]):
+                if l is not None:
+                    lanes[r] = (int(l[0]), int(l[1]), int(bool(l[2])))
+            lanes = np.ascontiguousarray(lanes)
+            self._restore_lanes = lanes  # keep alive through the C call
+            lanes_ptr = lanes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            self._count = int(state.get("count", 0))
+        self._handle = self._lib.srs_create(
+            self._items.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(self._items),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(self._offsets),
+            self.batch_size, self.window, self.ends_budget,
+            self._seed + 1_000_003 * self._host_shard[0],
+            self._host_shard[0], self._host_shard[1],
+            self._hold_out, self._prefetch,
+            epoch, pos, lanes_ptr,
+        )
+        if not self._handle:
+            raise RuntimeError("srs_create failed (host shard has no "
+                               "sessions with >= 1 transition?)")
+
+    # ---- position snapshots (same contract as SessionStream) -------------
+
+    def _snap_dict(self, snap: np.ndarray) -> dict:
+        return {
+            "engine": "native",
+            "count": self._count,
+            "epoch": int(snap[0]),
+            "pos": int(snap[1]),
+            "lanes": [
+                None if snap[2 + 3 * r] < 0 else
+                [int(snap[2 + 3 * r]), int(snap[3 + 3 * r]),
+                 bool(snap[4 + 3 * r])]
+                for r in range(self.batch_size)
+            ],
+        }
+
+    def state_at(self, n: int) -> dict:
+        for count, snap in list(self._snapshots):
+            if count == n:
+                return snap
+        if n == self._count and self._pending is None and self._handle:
+            # Live head, not yet pulled (synchronous feed, or a save right
+            # at the end of fit): the snapshot BEFORE batch n rides ON batch
+            # n, so peek it — pull one batch, stash it for the next
+            # __next__, and serve the snapshot it carried.
+            self._pending = self._pull()
+            return self._snapshots[-1][1]
+        raise KeyError(
+            f"no snapshot for batch {n} "
+            f"(have {[c for c, _ in self._snapshots]})"
+        )
+
+    def restore(self, state: dict) -> None:
+        self.close()
+        self._snapshots = []
+        self._pending = None
+        self._open(state)
+
+    # ---- iteration -------------------------------------------------------
+
+    def __iter__(self) -> "NativeSessionLoader":
+        return self
+
+    def __next__(self):
+        if self._pending is not None:
+            item, self._pending = self._pending, None
+            return item
+        return self._pull()
+
+    def _pull(self):
+        if self._handle is None:
+            raise StopIteration
+        kind = self._lib.srs_next(
+            self._handle,
+            self._wire.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._inputs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._reset.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._snap.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if kind < 0:
+            raise StopIteration
+        self._snapshots.append((self._count, self._snap_dict(self._snap)))
+        if len(self._snapshots) > self._snapshot_depth:
+            self._snapshots.pop(0)
+        self._count += 1
+        if kind == 1:
+            return self.window, self._wire.astype(self._wire_dtype)
+        B, T = self.batch_size, self.window
+        return self.window, {
+            "inputs": self._inputs.copy(),
+            "targets": self._targets.copy(),
+            "mask": np.ones((B, T), np.float32),
+            "reset": self._reset.copy(),
+        }
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.srs_destroy(self._handle)
             self._handle = None
 
     def __del__(self):  # pragma: no cover

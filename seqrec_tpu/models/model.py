@@ -213,14 +213,20 @@ class SeqRecModel(nn.Module):
         *,
         neg_ids: Optional[jax.Array] = None,
         neg_log_q: Optional[jax.Array] = None,
+        pos_log_q: Optional[jax.Array] = None,
         deterministic: bool = False,
+        table_override=None,  # [K, D] input sub-table; see encode
+        out_table_override=None,  # [K2, H] output sub-table (untied sparse)
     ):
         """Session-parallel TBPTT window (original GRU4Rec training regime):
         batch is a dense packed stream {inputs, targets, mask, reset}
         (data.batching.make_session_stream); `carry` is the RNN state from
         the previous window (towers.zero_carry to start). Returns
         (sum_loss, sum_weight, new_carry); the trainer stop-gradients
-        new_carry at the window boundary."""
+        new_carry at the window boundary. The sub-table overrides compose
+        the sparse-embedding trainer with session streaming (ids already
+        remapped, pos_log_q precomputed from original ids — same contract
+        as loss())."""
         if self.arch != "gru4rec":
             raise ValueError("session-parallel streaming needs an RNN tower")
         if self.use_user_embedding:
@@ -228,7 +234,12 @@ class SeqRecModel(nn.Module):
                              "use_user_embedding")
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
         with jax.named_scope("embedding_lookup"):
-            x = self._lookup(self.item_embedding, inputs)
+            if table_override is None:
+                x = self._lookup(self.item_embedding, inputs)
+            else:
+                x = ops.embedding_gather(
+                    table_override, inputs, use_pallas=self.use_pallas
+                ).astype(self.compute_dtype)
         if self.dropout_rate > 0.0:
             x = self.input_dropout(x, deterministic=deterministic)
         with jax.named_scope("tower"):
@@ -236,7 +247,11 @@ class SeqRecModel(nn.Module):
                 x, mask, carry=carry, reset=batch["reset"],
                 deterministic=deterministic,
             )
-        loss_sum, w_sum = self._head_loss(h, targets, mask, neg_ids, neg_log_q)
+        loss_sum, w_sum = self._head_loss(
+            h, targets, mask, neg_ids, neg_log_q, pos_log_q=pos_log_q,
+            table_override=table_override,
+            out_table_override=out_table_override,
+        )
         return loss_sum, w_sum, new_carry
 
     def _head_loss(self, h, targets, mask, neg_ids, neg_log_q,

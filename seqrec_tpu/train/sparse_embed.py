@@ -266,8 +266,6 @@ def validate_config(cfg) -> None:
             f"loss {cfg.model.loss!r} needs the full table every step; "
             f"sparse updates require one of {SAMPLED_LOSSES}"
         )
-    if cfg.data.session_parallel:
-        problems.append("session-parallel streaming not wired up yet")
     if t.weight_decay and t.weight_decay > 0:
         problems.append("weight_decay would need dense row touches")
     if problems:

@@ -416,25 +416,53 @@ class Trainer:
                 targets.reshape(-1), self.ds.vocab_size, cfg.data.neg_sampler
             )
 
-        def loss_fn(diff):
-            subs_p, rest_p = diff
-            loss_sum, w_sum = self.model.apply(
-                {"params": {**rest_p, **tables}},
-                batch_r,
-                neg_ids=neg_ids_r,
-                neg_log_q=neg_log_q,
-                pos_log_q=pos_log_q,
-                deterministic=False,
-                table_override=subs_p["in"],
-                out_table_override=None if tied else subs_p["out"],
-                method=self.model.loss,
-                rngs={"dropout": dropout_rng},
-            )
-            return loss_sum / jnp.maximum(w_sum, 1.0), (loss_sum, w_sum)
+        if cfg.data.session_parallel:
 
-        (loss, (loss_sum, w_sum)), (g_subs, g_rest) = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )((subs, rest))
+            def loss_fn(diff):
+                subs_p, rest_p = diff
+                loss_sum, w_sum, new_carry = self.model.apply(
+                    {"params": {**rest_p, **tables}},
+                    batch_r,
+                    state.carry,
+                    neg_ids=neg_ids_r,
+                    neg_log_q=neg_log_q,
+                    pos_log_q=pos_log_q,
+                    deterministic=False,
+                    table_override=subs_p["in"],
+                    out_table_override=None if tied else subs_p["out"],
+                    method=self.model.loss_stream,
+                    rngs={"dropout": dropout_rng},
+                )
+                # TBPTT: no gradient across window boundaries (and the carry
+                # must not pull the sub-table into the next step's cotangent).
+                new_carry = jax.lax.stop_gradient(new_carry)
+                return loss_sum / jnp.maximum(w_sum, 1.0), (
+                    loss_sum, w_sum, new_carry
+                )
+
+        else:
+
+            def loss_fn(diff):
+                subs_p, rest_p = diff
+                loss_sum, w_sum = self.model.apply(
+                    {"params": {**rest_p, **tables}},
+                    batch_r,
+                    neg_ids=neg_ids_r,
+                    neg_log_q=neg_log_q,
+                    pos_log_q=pos_log_q,
+                    deterministic=False,
+                    table_override=subs_p["in"],
+                    out_table_override=None if tied else subs_p["out"],
+                    method=self.model.loss,
+                    rngs={"dropout": dropout_rng},
+                )
+                return loss_sum / jnp.maximum(w_sum, 1.0), (
+                    loss_sum, w_sum, None
+                )
+
+        (loss, (loss_sum, w_sum, new_carry)), (g_subs, g_rest) = (
+            jax.value_and_grad(loss_fn, has_aux=True)((subs, rest))
+        )
 
         gnorm = optax.global_norm((g_subs, g_rest))
         nonfinite = jnp.logical_or(~jnp.isfinite(gnorm), ~jnp.isfinite(loss))
@@ -478,7 +506,7 @@ class Trainer:
             params={"params": {**new_rest, **new_tables}},
             opt_state=new_opt,
             rng=state.rng,
-            carry=None,
+            carry=new_carry,
             embed_opt=new_embed_opt,
         )
         metrics = {
@@ -610,8 +638,11 @@ class Trainer:
             "reset": reset.astype(jnp.float32),
         }
 
-    def pack_batch(self, batch: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
-        """Config-dispatched wire packer (feeder side)."""
+    def pack_batch(self, batch) -> Optional[np.ndarray]:
+        """Config-dispatched wire packer (feeder side). Arrays pass through:
+        the native session loader emits ready wire rows packed in C++."""
+        if isinstance(batch, np.ndarray):
+            return batch
         if self.cfg.data.session_parallel:
             return self.pack_session_batch(batch)
         return self.pack_train_batch(batch)
@@ -668,22 +699,7 @@ class Trainer:
         lane state is genuinely sequential (fit() handles that case)."""
         host_shard = (jax.process_index(), jax.process_count())
         if self.cfg.data.session_parallel:
-            from seqrec_tpu.data.batching import make_session_stream
-
-            # Snapshot ring must cover the feeder's read-ahead: with
-            # steps_per_call grouping the feeder stages whole K-groups, so
-            # the gap between the stream head and the loop's position grows
-            # to ~K * (prefetch_depth + 2) batches.
-            spc = self._steps_per_call()
-            depth = max(16, spc * (self.cfg.data.prefetch_to_device + 2) + spc)
-            return make_session_stream(
-                self.ds,
-                batch_size=self.local_batch,
-                window=self.cfg.data.max_len,
-                seed=self.cfg.data.seed,
-                host_shard=host_shard,
-                snapshot_depth=depth,
-            )
+            return self._make_session_iterator()
         if self.cfg.data.use_native_loader:
             from seqrec_tpu.data import native
 
@@ -705,6 +721,52 @@ class Trainer:
             seed=self.cfg.data.seed,
             host_shard=host_shard,
             skip_batches=skip_batches,
+        )
+
+    def _make_session_iterator(self, engine: str = "auto"):
+        """Session-parallel stream: the native C++ engine when built (it
+        fills windows AND packs the wire format off the GIL — the Python
+        SessionStream's per-segment splice loop was the measured e2e
+        bottleneck of this mode), else the Python stream. `engine` pins the
+        kind when resuming a checkpoint written by the other loader (their
+        shuffle engines differ, so snapshots are not interchangeable)."""
+        host_shard = (jax.process_index(), jax.process_count())
+        # Snapshot ring must cover the feeder's read-ahead: with
+        # steps_per_call grouping the feeder stages whole K-groups, so the
+        # gap between the stream head and the loop's position grows to
+        # ~K * (prefetch_depth + 2) batches.
+        spc = self._steps_per_call()
+        depth = max(16, spc * (self.cfg.data.prefetch_to_device + 2) + spc)
+        use_native = self.cfg.data.use_native_loader and engine != "python"
+        if use_native:
+            from seqrec_tpu.data import native
+
+            if native.available():
+                T, E, _ = self._session_wire_cols
+                return native.NativeSessionLoader(
+                    self.ds,
+                    batch_size=self.local_batch,
+                    window=T,
+                    ends_budget=E,
+                    wire_dtype=self._wire_dtype,
+                    seed=self.cfg.data.seed,
+                    host_shard=host_shard,
+                    snapshot_depth=depth,
+                )
+        if engine == "native":
+            raise RuntimeError(
+                "checkpoint was written by the native session loader but "
+                "the native engine is unavailable; run `make -C native`"
+            )
+        from seqrec_tpu.data.batching import make_session_stream
+
+        return make_session_stream(
+            self.ds,
+            batch_size=self.local_batch,
+            window=self.cfg.data.max_len,
+            seed=self.cfg.data.seed,
+            host_shard=host_shard,
+            snapshot_depth=depth,
         )
 
     def precompile(self, state: TrainState) -> None:
@@ -787,7 +849,16 @@ class Trainer:
         if self.cfg.data.session_parallel and data_position:
             if data_state is not None:
                 # O(1)-ish resume: rebuild lane cursors + rng from the saved
-                # snapshot (batching.SessionStream.restore) — no batch replay.
+                # snapshot — no batch replay. The snapshot must be restored
+                # by the loader kind that wrote it (python SessionStream vs
+                # native engine: different shuffle rngs).
+                want = data_state.get("engine", "python")
+                have = ("native" if type(it).__name__ == "NativeSessionLoader"
+                        else "python")
+                if want != have:
+                    if hasattr(it, "close"):
+                        it.close()
+                    it = self._make_session_iterator(engine=want)
                 it.restore(data_state)
             else:
                 for _ in range(data_position):  # legacy checkpoint: replay

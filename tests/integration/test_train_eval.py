@@ -188,15 +188,26 @@ def test_sparse_checkpoint_resume_bitwise(tiny_ds, tmp_path):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
 
 
-def test_session_parallel_resume_bitwise_no_replay(tiny_ds, tmp_path, monkeypatch):
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_session_parallel_resume_bitwise_no_replay(tiny_ds, tmp_path,
+                                                   monkeypatch, engine):
     """Session-parallel kill/resume (VERDICT r2 task 8): straight 40-window
     run == 20 + crash + resume 20, bitwise — and the resume must go through
-    SessionStream.restore (O(1) lane-state snapshot), not batch replay."""
-    from seqrec_tpu.data import batching
+    the stream's restore (O(1) lane-state snapshot), not batch replay. Both
+    loader engines (python SessionStream, native C++ srs_*) keep the
+    contract; their snapshots carry the engine kind so each resumes its
+    own."""
+    from seqrec_tpu.data import batching, native
+
+    if engine == "native" and not native.available():
+        pytest.skip("native engine not built")
+    cls = (native.NativeSessionLoader if engine == "native"
+           else batching.SessionStream)
 
     def sp_cfg(out, **kw):
         cfg = _cfg(out, **kw)
         cfg.data.session_parallel = True
+        cfg.data.use_native_loader = engine == "native"
         cfg.data.max_len = 16
         return cfg
 
@@ -207,8 +218,8 @@ def test_session_parallel_resume_bitwise_no_replay(tiny_ds, tmp_path, monkeypatc
     Trainer(cfg_b, ds=tiny_ds).fit()
 
     calls = {"restore": 0, "next": 0}
-    orig_restore = batching.SessionStream.restore
-    orig_next = batching.SessionStream.__next__
+    orig_restore = cls.restore
+    orig_next = cls.__next__
 
     def spy_restore(self, st):
         calls["restore"] += 1
@@ -218,16 +229,18 @@ def test_session_parallel_resume_bitwise_no_replay(tiny_ds, tmp_path, monkeypatc
         calls["next"] += 1
         return orig_next(self)
 
-    monkeypatch.setattr(batching.SessionStream, "restore", spy_restore)
-    monkeypatch.setattr(batching.SessionStream, "__next__", spy_next)
+    monkeypatch.setattr(cls, "restore", spy_restore)
+    monkeypatch.setattr(cls, "__next__", spy_next)
     cfg_b2 = sp_cfg(tmp_path / "b", num_steps=40, checkpoint_every=20,
                     resume=True)
     state_b, _ = Trainer(cfg_b2, ds=tiny_ds).fit()
 
     assert calls["restore"] == 1
-    # 20 remaining windows + prefetch read-ahead; far below 40 (replay would
-    # have pulled the first 20 again).
-    assert calls["next"] <= 20 + 4, calls
+    # 20 remaining windows + prefetch read-ahead (DevicePrefetcher depth 2
+    # plus the native engine's own ring; how far the feeder runs ahead is
+    # timing-dependent). Far below 40 — replay would have pulled the first
+    # 20 again.
+    assert calls["next"] <= 20 + 12, calls
 
     assert int(jax.device_get(state_b.step)) == 40
     for xa, xb in zip(jax.tree.leaves(state_a.params),
