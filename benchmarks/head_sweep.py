@@ -31,6 +31,10 @@ SHAPES = [
     ("ml1m_lstm_S256_H128", 25_600, 128, 256),
     ("synthetic10m_S512_H128", 25_600, 128, 512),
     ("gate_check_S1024_H128", 25_600, 128, 1024),
+    # ADVICE r3: the S>=512 gate also routes H=256 heads (benchmark-only
+    # today — the wide sasrec demo) through the kernel; measure that width
+    # at the shipped tile so the gate is backed by data at every H it opens.
+    ("gate_check_S512_H256", 25_600, 256, 512),
 ]
 TILES = [256, 512, 1024]
 

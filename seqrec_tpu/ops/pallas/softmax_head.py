@@ -46,6 +46,9 @@ def supported(h: jax.Array, neg_emb: jax.Array) -> bool:
     # (0.112 vs 0.248 ms XLA, BN=1024) and is parity at S=1024/H=128 (0.536
     # vs 0.557); at S=256 XLA's fusion is at parity or better (H=64: 0.133
     # both; H=128: 0.110 XLA vs 0.115), so the gate opens at S ≥ 512.
+    # ADVICE r3 follow-up: the wider H=256/S=512 head (wide-sasrec demo) was
+    # unmeasured at this tile — round-4 sweep: Pallas BN=1024 0.382 ms vs
+    # XLA 0.523 ms (1.37x win), so the gate correctly covers H=256 too.
     # neg_emb + per-tile blocks must also fit comfortably in VMEM.
     bn = _row_tile(S)
     vmem = 4 * (S * H + bn * (2 * H + 2 * S))
