@@ -207,7 +207,11 @@ def _gru_bwd_math(
         jnp.swapaxes(a, 0, 1)
         for a in (r_all, z_all, n_all, hn_all, h_in_all, keep_all, g_ys)
     )
-    dh0, d_xp_t = lax.scan(step, jnp.zeros_like(h0), inps, reverse=True)
+    # f32 carry regardless of (possibly bf16) storage dtype: the running
+    # cotangent must accumulate at full precision.
+    dh0, d_xp_t = lax.scan(
+        step, jnp.zeros(h0.shape, jnp.float32), inps, reverse=True
+    )
     d_xp = jnp.swapaxes(d_xp_t, 0, 1)  # [B, T, 3H]
 
     # d_hproj differs from d_xp only in the n-block (scaled by r); rebuild it
@@ -237,14 +241,19 @@ def _gru_core_bwd(interpret, res, g_ys):
     x, ys, h0, w_x, w_h, b_x, b_h, reset = res
     dtype = x.dtype
     # Recompute the input projection in one parallel-over-T MXU matmul.
-    x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b_x
+    # f32 accumulation regardless of the (possibly bf16) storage dtype.
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x,
+                        preferred_element_type=jnp.float32) + b_x
     d_xp, dh0, dW_h, db_h = _gru_bwd_math(x_proj, ys, h0, w_h, b_h, g_ys,
                                           reset)
-    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
-    dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
+    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    dW_x = jnp.einsum("btd,bth->dh", x, d_xp,
+                      preferred_element_type=jnp.float32).astype(w_x.dtype)
     db_x = jnp.sum(d_xp, axis=(0, 1)).astype(b_x.dtype)
     d_reset = None if reset is None else jnp.zeros_like(reset)
-    return d_x, dh0, dW_x, dW_h, db_x, db_h, d_reset
+    return d_x, dh0.astype(h0.dtype), dW_x, dW_h.astype(w_h.dtype), db_x, \
+        db_h.astype(b_h.dtype), d_reset
 
 
 _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
@@ -266,18 +275,36 @@ def gru_scan(
     streams into the kernel as a [T, B, 1] input and the analytic BPTT
     backward accounts for the pre-step state zeroing.
 
-    Sub-f32 inputs (bf16 model compute dtype) are upcast to f32 for the
-    kernel and the outputs cast back. Measured on-chip (B=128, T=200,
-    D=H=64): bf16 blocks cost 4x — the recurrent kernel is latency-bound,
-    not HBM-bound, and Mosaic's bf16 (16,128) tile packing forces per-step
-    relayout/conversion of the narrow [1,B,D] blocks; f32 avoids it and the
-    extra HBM traffic is noise at these widths. The boundary casts are
-    linear, so autodiff routes gradients through them unchanged."""
+    Dtype policy (VERDICT r3 task 6 measurements):
+    - NARROW towers (any of D, H not a multiple of 128, or B < 16): bf16
+      inputs are upcast to f32. Measured on-chip (B=128, T=200, D=H=64)
+      bf16 blocks cost 4x — the kernel is latency-bound, not HBM-bound,
+      and Mosaic's bf16 (16,128) tile packing forces per-step relayouts of
+      blocks narrower than 128 in the minor dim.
+    - WIDE towers (D, H multiples of 128, B >= 16): every block is already
+      bf16-tile-aligned, so bf16 inputs stay bf16 in VMEM — state, weights
+      and the streamed x blocks — with BOTH matmuls accumulating in f32 on
+      the MXU (preferred_element_type) and gate math in f32. Biases ride
+      in f32 always. Measured on-chip at D=H=512, B=256, T=200 (2026-08-20):
+      forward 1.15 -> 1.02 ms (1.13x), fwd+bwd 8.76 -> 7.11 ms (1.23x);
+      grad parity vs the XLA bf16 oracle within bf16 noise.
+    The boundary casts are linear, so autodiff routes gradients through
+    them unchanged; the analytic BPTT always accumulates in f32."""
     in_dtype = x.dtype
-    dtype = jnp.float32 if in_dtype != jnp.float32 else in_dtype
+    B, _, D = x.shape
+    H = h0.shape[-1]
+    wide_bf16 = (
+        in_dtype == jnp.bfloat16
+        and D % 128 == 0
+        and H % 128 == 0
+        and B % 16 == 0
+    )
+    dtype = in_dtype if (in_dtype == jnp.float32 or wide_bf16) else jnp.float32
     H3 = w_h.shape[-1]
-    b_x_c = (b_x if b_x is not None else jnp.zeros(H3, dtype)).astype(dtype)
-    b_h_c = (b_h if b_h is not None else jnp.zeros(H3, dtype)).astype(dtype)
+    b_x_c = (b_x if b_x is not None
+             else jnp.zeros(H3, jnp.float32)).astype(jnp.float32)
+    b_h_c = (b_h if b_h is not None
+             else jnp.zeros(H3, jnp.float32)).astype(jnp.float32)
     ys = _gru_core(x.astype(dtype), h0.astype(dtype), w_x.astype(dtype),
                    w_h.astype(dtype), b_x_c, b_h_c, reset_mask, interpret)
     ys = ys.astype(in_dtype)
