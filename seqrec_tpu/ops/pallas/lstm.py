@@ -155,7 +155,8 @@ def _recompute_cells(
     B, T, H = hs.shape
     keep_all = _keep_plane(reset, B, T, x_proj.dtype)
     h_prev_all = jnp.concatenate([h0[:, None], hs[:, :-1]], axis=1) * keep_all
-    z = x_proj + jnp.einsum("bth,hk->btk", h_prev_all, w_h)
+    z = x_proj + jnp.einsum("bth,hk->btk", h_prev_all, w_h,
+                            preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(z[..., :H]).astype(jnp.float32)
     f = jax.nn.sigmoid(z[..., H:2 * H]).astype(jnp.float32)
     g = jnp.tanh(z[..., 2 * H:3 * H]).astype(jnp.float32)
@@ -277,14 +278,18 @@ def _lstm_core_fwd(x, h0, c0, w_x, w_h, b, reset, interpret):
 def _lstm_core_bwd(interpret, res, g_ys):
     x, ys, h0, c0, w_x, w_h, b, reset = res
     dtype = x.dtype
-    # Recompute the input projection in one parallel-over-T MXU matmul.
-    x_proj = jnp.einsum("btd,dh->bth", x, w_x) + b
+    # Recompute the input projection in one parallel-over-T MXU matmul;
+    # f32 accumulation regardless of the (possibly bf16) storage dtype.
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x,
+                        preferred_element_type=jnp.float32) + b
     cs = _recompute_cells(x_proj, ys, h0, c0, w_h, reset)
     d_xp, dh0, dc0, dW_h, db = _lstm_bwd_math(
         x_proj, ys, cs, h0, c0, w_h, g_ys, reset
     )
-    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x).astype(dtype)
-    dW_x = jnp.einsum("btd,bth->dh", x, d_xp).astype(w_x.dtype)
+    d_x = jnp.einsum("bth,dh->btd", d_xp, w_x,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    dW_x = jnp.einsum("btd,bth->dh", x, d_xp,
+                      preferred_element_type=jnp.float32).astype(w_x.dtype)
     db_out = jnp.sum(d_xp, axis=(0, 1)).astype(b.dtype)
     d_reset = None if reset is None else jnp.zeros_like(reset)
     return d_x, dh0, dc0, dW_x, dW_h.astype(w_h.dtype), db_out, d_reset
@@ -316,20 +321,33 @@ def lstm_scan(
     backward) when the caller drops c_last or stop-gradients it, which is
     what the TBPTT trainer does with the carry.
 
-    Sub-f32 inputs are upcast to f32 for the kernel and cast back on the way
-    out — same rationale as gru_scan: the scan is latency-bound and bf16
-    narrow-block relayouts cost ~4x on chip; boundary casts are linear so
-    gradients pass through unchanged.
+    Dtype policy: identical to gru_scan (see its docstring for the
+    measurements) — narrow shapes upcast sub-f32 inputs to f32 (bf16
+    (16,128) tile relayouts of sub-128 blocks cost ~4x); wide tile-aligned
+    shapes (D, H multiples of 128, B >= 16) keep bf16 storage with f32 MXU
+    accumulation, f32 gate math, f32 biases, and the cell state always
+    accumulates in an f32 VMEM scratch. Boundary casts are linear so
+    gradients pass through unchanged; BPTT accumulates in f32 throughout.
     """
     in_dtype = x.dtype
-    dtype = jnp.float32 if in_dtype != jnp.float32 else in_dtype
+    B, _, D = x.shape
+    H = h0.shape[-1]
+    wide_bf16 = (
+        in_dtype == jnp.bfloat16
+        and D % 128 == 0
+        and H % 128 == 0
+        and B % 16 == 0
+    )
+    dtype = in_dtype if (in_dtype == jnp.float32 or wide_bf16) else jnp.float32
     H4 = w_h.shape[-1]
     x = x.astype(dtype)
-    b_c = (b if b is not None else jnp.zeros(H4, dtype)).astype(dtype)
+    b_c = (b if b is not None
+           else jnp.zeros(H4, jnp.float32)).astype(jnp.float32)
     ys = _lstm_core(x, h0.astype(dtype), c0.astype(dtype),
                     w_x.astype(dtype), w_h.astype(dtype), b_c, reset_mask,
                     interpret)
-    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype)) + b_c
+    x_proj = jnp.einsum("btd,dh->bth", x, w_x.astype(dtype),
+                        preferred_element_type=jnp.float32) + b_c
     cs = _recompute_cells(
         x_proj, ys, h0.astype(dtype), c0.astype(dtype),
         w_h.astype(dtype), reset_mask,
