@@ -60,10 +60,30 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if not any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
             _try_build()
+        for attempt in range(2):
+            lib = _bind()
+            if lib is not None:
+                _lib = lib
+                return _lib
+            if attempt == 0:
+                # A .so exists but lacks current symbols (stale build from
+                # before the session engine): rebuild once — make sees the
+                # newer .cc — then retry. Still stale => full Python
+                # fallback rather than AttributeError mid-training.
+                _try_build()
+    return None
+
+
+def _bind() -> Optional[ctypes.CDLL]:
+    """Load + bind the C ABI; None if missing or missing any symbol."""
+    try:
         for p in _LIB_PATHS:
             p = os.path.abspath(p)
             if os.path.exists(p):
                 lib = ctypes.CDLL(p)
+                for sym in ("srd_create", "srd_next_batch", "srd_destroy",
+                            "srs_create", "srs_next", "srs_destroy"):
+                    getattr(lib, sym)
                 lib.srd_create.restype = ctypes.c_void_p
                 lib.srd_create.argtypes = [
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -104,8 +124,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 ]
                 lib.srs_destroy.restype = None
                 lib.srs_destroy.argtypes = [ctypes.c_void_p]
-                _lib = lib
-                return _lib
+                return lib
+    except AttributeError:
+        return None
     return None
 
 
@@ -256,6 +277,11 @@ class NativeSessionLoader:
         self._snap = np.empty((2 + 3 * batch_size,), np.int64)
         self._snapshots: list = []
         self._pending = None  # one-slot pushback for state_at's peek
+        # Guards _pull/_pending/_count/_snapshots: state_at's live-head peek
+        # runs on the checkpointing thread while a DevicePrefetcher feeder
+        # may be inside __next__ concurrently — both share the C queue and
+        # the reused output buffers.
+        self._pull_lock = threading.Lock()
         self._count = 0
         self._handle = None
         self._open(state)
@@ -306,16 +332,17 @@ class NativeSessionLoader:
         }
 
     def state_at(self, n: int) -> dict:
-        for count, snap in list(self._snapshots):
-            if count == n:
-                return snap
-        if n == self._count and self._pending is None and self._handle:
-            # Live head, not yet pulled (synchronous feed, or a save right
-            # at the end of fit): the snapshot BEFORE batch n rides ON batch
-            # n, so peek it — pull one batch, stash it for the next
-            # __next__, and serve the snapshot it carried.
-            self._pending = self._pull()
-            return self._snapshots[-1][1]
+        with self._pull_lock:
+            for count, snap in list(self._snapshots):
+                if count == n:
+                    return snap
+            if n == self._count and self._pending is None and self._handle:
+                # Live head, not yet pulled (synchronous feed, or a save
+                # right at the end of fit): the snapshot BEFORE batch n
+                # rides ON batch n, so peek it — pull one batch, stash it
+                # for the next __next__, and serve the snapshot it carried.
+                self._pending = self._pull_locked()
+                return self._snapshots[-1][1]
         raise KeyError(
             f"no snapshot for batch {n} "
             f"(have {[c for c, _ in self._snapshots]})"
@@ -323,9 +350,10 @@ class NativeSessionLoader:
 
     def restore(self, state: dict) -> None:
         self.close()
-        self._snapshots = []
-        self._pending = None
-        self._open(state)
+        with self._pull_lock:
+            self._snapshots = []
+            self._pending = None
+            self._open(state)
 
     # ---- iteration -------------------------------------------------------
 
@@ -333,12 +361,13 @@ class NativeSessionLoader:
         return self
 
     def __next__(self):
-        if self._pending is not None:
-            item, self._pending = self._pending, None
-            return item
-        return self._pull()
+        with self._pull_lock:
+            if self._pending is not None:
+                item, self._pending = self._pending, None
+                return item
+            return self._pull_locked()
 
-    def _pull(self):
+    def _pull_locked(self):
         if self._handle is None:
             raise StopIteration
         kind = self._lib.srs_next(

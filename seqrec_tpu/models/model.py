@@ -160,23 +160,26 @@ class SeqRecModel(nn.Module):
         return self.encode(inputs, mask, users=users,
                            deterministic=deterministic)
 
+    def _input_embed(self, inputs: jax.Array, table_override) -> jax.Array:
+        """Input-side embedding lookup, shared by encode and loss_stream.
+
+        With `table_override` ([K, D] REPLICATED sub-table rows, `inputs`
+        already remapped to sub-table positions — the sparse-embedding
+        trainer's contract) this is a plain gather, never the sharded
+        collective (which expects original ids against the row-sharded full
+        table); autodiff then produces a [K, D] cotangent instead of a
+        dense [V, D] one."""
+        if table_override is None:
+            return self._lookup(self.item_embedding, inputs)
+        return ops.embedding_gather(
+            table_override, inputs, use_pallas=self.use_pallas
+        ).astype(self.compute_dtype)
+
     def encode(self, inputs: jax.Array, mask: jax.Array, *, users=None,
                deterministic: bool = True, table_override=None):
-        """`table_override` replaces the item table for this call — the
-        sparse-embedding trainer passes the gathered [K, D] sub-table (with
-        `inputs` already remapped to sub-table positions) so autodiff
-        produces a [K, D] cotangent instead of a dense [V, D] one."""
+        """`table_override`: see _input_embed."""
         with jax.named_scope("embedding_lookup"):
-            if table_override is None:
-                x = self._lookup(self.item_embedding, inputs)
-            else:
-                # Sub-table override: [K, D] REPLICATED rows with `inputs`
-                # already remapped to sub-table positions — a plain gather,
-                # never the sharded collective (which expects original ids
-                # against the row-sharded full table).
-                x = ops.embedding_gather(
-                    table_override, inputs, use_pallas=self.use_pallas
-                ).astype(self.compute_dtype)
+            x = self._input_embed(inputs, table_override)
             if self.use_user_embedding and users is not None:
                 u = self._lookup(self.user_embedding, users)  # [B, D]
                 x = x + u[:, None, :]
@@ -234,12 +237,7 @@ class SeqRecModel(nn.Module):
                              "use_user_embedding")
         inputs, targets, mask = batch["inputs"], batch["targets"], batch["mask"]
         with jax.named_scope("embedding_lookup"):
-            if table_override is None:
-                x = self._lookup(self.item_embedding, inputs)
-            else:
-                x = ops.embedding_gather(
-                    table_override, inputs, use_pallas=self.use_pallas
-                ).astype(self.compute_dtype)
+            x = self._input_embed(inputs, table_override)
         if self.dropout_rate > 0.0:
             x = self.input_dropout(x, deterministic=deterministic)
         with jax.named_scope("tower"):

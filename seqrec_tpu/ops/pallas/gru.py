@@ -276,12 +276,12 @@ def gru_scan(
     backward accounts for the pre-step state zeroing.
 
     Dtype policy (VERDICT r3 task 6 measurements):
-    - NARROW towers (any of D, H not a multiple of 128, or B < 16): bf16
+    - NARROW towers (any of D, H not a multiple of 128, or B not a multiple of 16): bf16
       inputs are upcast to f32. Measured on-chip (B=128, T=200, D=H=64)
       bf16 blocks cost 4x — the kernel is latency-bound, not HBM-bound,
       and Mosaic's bf16 (16,128) tile packing forces per-step relayouts of
       blocks narrower than 128 in the minor dim.
-    - WIDE towers (D, H multiples of 128, B >= 16): every block is already
+    - WIDE towers (D, H multiples of 128, B a multiple of 16): every block is already
       bf16-tile-aligned, so bf16 inputs stay bf16 in VMEM — state, weights
       and the streamed x blocks — with BOTH matmuls accumulating in f32 on
       the MXU (preferred_element_type) and gate math in f32. Biases ride

@@ -324,7 +324,7 @@ def lstm_scan(
     Dtype policy: identical to gru_scan (see its docstring for the
     measurements) — narrow shapes upcast sub-f32 inputs to f32 (bf16
     (16,128) tile relayouts of sub-128 blocks cost ~4x); wide tile-aligned
-    shapes (D, H multiples of 128, B >= 16) keep bf16 storage with f32 MXU
+    shapes (D, H multiples of 128, B a multiple of 16) keep bf16 storage with f32 MXU
     accumulation, f32 gate math, f32 biases, and the cell state always
     accumulates in an f32 VMEM scratch. Boundary casts are linear so
     gradients pass through unchanged; BPTT accumulates in f32 throughout.

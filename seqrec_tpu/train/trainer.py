@@ -737,7 +737,12 @@ class Trainer:
         # ~K * (prefetch_depth + 2) batches.
         spc = self._steps_per_call()
         depth = max(16, spc * (self.cfg.data.prefetch_to_device + 2) + spc)
-        use_native = self.cfg.data.use_native_loader and engine != "python"
+        # engine == "native" (a native-engine checkpoint is being resumed)
+        # overrides data.use_native_loader: the snapshot is only meaningful
+        # to the engine that wrote it.
+        use_native = engine == "native" or (
+            self.cfg.data.use_native_loader and engine != "python"
+        )
         if use_native:
             from seqrec_tpu.data import native
 
