@@ -31,19 +31,45 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+UNROLL: Optional[int] = None  # time steps per grid slot; None = auto
+
+
+def _pick_unroll(T: int) -> int:
+    """Time steps per grid slot (must divide T; shipped T: 200, 100, 50,
+    30, 16). Unrolling amortizes per-grid-step machinery (block
+    bookkeeping, DMA rendezvous) over several steps. Measured on the relay
+    (fwd, B=128, T=200, D=H=64, median of 15 ALTERNATED reps, 2026-08-21):
+    U=1 0.174 ms, U=4 0.174, U=8 0.148 — performance-neutral here (the
+    serial matmul chain already hides the grid overhead; an early 4x
+    reading was relay drift, not signal). Kept ON at U=4: free today,
+    and grid overhead is hardware-dependent headroom on real silicon."""
+    if UNROLL is not None:
+        return UNROLL if T % UNROLL == 0 else 1
+    for u in (4, 2):
+        if T % u == 0:
+            return u
+    return 1
+
+
 def supported(x: jax.Array, h0: jax.Array) -> bool:
     """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
     B, T, D = x.shape
     H = h0.shape[-1]
-    vmem = 4 * (B * D + B * H * 2 + (D + H) * 3 * H + B * 3 * H)
+    U = _pick_unroll(T)
+    vmem = 4 * (U * B * D + B * H * (1 + U) + (D + H) * 3 * H + B * 3 * H)
     return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
 def _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
                    ys_ref, h_ref, keep_ref=None):
-    """One time step per grid slot; h_ref is persistent VMEM scratch.
-    keep_ref ([1, B, 1] per step, 0.0 = reset state BEFORE this step) is
-    present only in the session-parallel variant."""
+    """UNROLL time steps per grid slot; h_ref is persistent VMEM scratch.
+    keep_ref ([U, B, 1] per slot, 0.0 = reset state BEFORE that step) is
+    present only in the session-parallel variant.
+
+    The unroll amortizes per-grid-step machinery (block bookkeeping, DMA
+    rendezvous) over several time steps — at narrow shipped widths (D=H=64)
+    the per-step matmuls are so small that this overhead, not the MXU, set
+    the scan's latency floor."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -51,25 +77,28 @@ def _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
         h_ref[:] = h0_ref[:]
 
     h = h_ref[:]
-    if keep_ref is not None:
-        h = h * keep_ref[0]
-    xp = (
-        jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
-        + b_x_ref[:]
-    )
-    hp = (
-        jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
-        + b_h_ref[:]
-    )
-    H = h.shape[-1]
-    xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
-    hr, hz, hn = hp[:, :H], hp[:, H:2 * H], hp[:, 2 * H:]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    h_next = ((1.0 - z) * n + z * h).astype(h_ref.dtype)
-    h_ref[:] = h_next
-    ys_ref[0] = h_next
+    U = x_ref.shape[0]
+    for u in range(U):  # python-unrolled at trace time
+        h_in = h
+        if keep_ref is not None:
+            h_in = h_in * keep_ref[u]
+        xp = (
+            jnp.dot(x_ref[u], w_x_ref[:], preferred_element_type=jnp.float32)
+            + b_x_ref[:]
+        )
+        hp = (
+            jnp.dot(h_in, w_h_ref[:], preferred_element_type=jnp.float32)
+            + b_h_ref[:]
+        )
+        H = h_in.shape[-1]
+        xr, xz, xn = xp[:, :H], xp[:, H:2 * H], xp[:, 2 * H:]
+        hr, hz, hn = hp[:, :H], hp[:, H:2 * H], hp[:, 2 * H:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = ((1.0 - z) * n + z * h_in).astype(h_ref.dtype)
+        ys_ref[u] = h
+    h_ref[:] = h
 
 
 def _gru_step_kernel(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
@@ -98,8 +127,9 @@ def _gru_forward_pallas(
     B, T, D = x.shape
     H3 = w_h.shape[-1]
     H = H3 // 3
+    U = _pick_unroll(T)
     xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
-    x_spec = pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+    x_spec = pl.BlockSpec((U, B, D), lambda t: (t, 0, 0),
                           memory_space=pltpu.VMEM)
     common_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
@@ -113,7 +143,7 @@ def _gru_forward_pallas(
         operands = (xs, w_x, w_h, b_x.reshape(1, H3), b_h.reshape(1, H3), h0)
     else:
         keep = (1.0 - jnp.swapaxes(reset, 0, 1)).astype(x.dtype)[:, :, None]
-        keep_spec = pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+        keep_spec = pl.BlockSpec((U, B, 1), lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
         kernel = _gru_step_kernel_reset
         in_specs = [x_spec, keep_spec] + common_specs
@@ -121,9 +151,9 @@ def _gru_forward_pallas(
                     b_h.reshape(1, H3), h0)
     ys = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // U,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), x.dtype)],

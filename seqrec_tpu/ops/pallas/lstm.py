@@ -29,19 +29,35 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+UNROLL: Optional[int] = None  # time steps per grid slot; None = auto
+
+
+def _pick_unroll(T: int) -> int:
+    """Time steps per grid slot (see ops/pallas/gru.py — same rationale)."""
+    if UNROLL is not None:
+        return UNROLL if T % UNROLL == 0 else 1
+    for u in (4, 2):
+        if T % u == 0:
+            return u
+    return 1
+
+
 def supported(x: jax.Array, h0: jax.Array) -> bool:
     """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
     B, T, D = x.shape
     H = h0.shape[-1]
-    vmem = 4 * (B * D + B * H * 3 + (D + H) * 4 * H + B * 4 * H)
+    U = _pick_unroll(T)
+    vmem = 4 * (U * B * D + B * H * (2 + U) + (D + H) * 4 * H + B * 4 * H)
     return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
 def _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
                     ys_ref, h_ref, c_ref, keep_ref=None):
-    """One time step per grid slot; h_ref/c_ref are persistent VMEM scratch.
-    keep_ref ([1, B, 1] per step, 0.0 = reset state BEFORE this step) is
-    present only in the session-parallel variant."""
+    """UNROLL time steps per grid slot; h_ref/c_ref are persistent VMEM
+    scratch. keep_ref ([U, B, 1] per slot, 0.0 = reset state BEFORE that
+    step) is present only in the session-parallel variant. The unroll
+    amortizes per-grid-step machinery over several time steps (see
+    ops/pallas/gru.py — same rationale and measurements)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -52,25 +68,27 @@ def _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
 
     h = h_ref[:]
     c = c_ref[:]
-    if keep_ref is not None:
-        keep = keep_ref[0]
-        h = h * keep
-        c = c * keep.astype(c_ref.dtype)
-    z = (
-        jnp.dot(x_ref[0], w_x_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
-        + b_ref[:]
-    )
-    H = h.shape[-1]
-    i = jax.nn.sigmoid(z[:, :H])
-    f = jax.nn.sigmoid(z[:, H:2 * H])
-    g = jnp.tanh(z[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(z[:, 3 * H:])
-    c_next = f * c + i * g
-    h_next = (o * jnp.tanh(c_next)).astype(h_ref.dtype)
-    c_ref[:] = c_next.astype(c_ref.dtype)
-    h_ref[:] = h_next
-    ys_ref[0] = h_next
+    U = x_ref.shape[0]
+    for u in range(U):  # python-unrolled at trace time
+        if keep_ref is not None:
+            keep = keep_ref[u]
+            h = h * keep
+            c = c * keep.astype(c_ref.dtype)
+        z = (
+            jnp.dot(x_ref[u], w_x_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+        )
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(z[:, :H])
+        f = jax.nn.sigmoid(z[:, H:2 * H])
+        g = jnp.tanh(z[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(z[:, 3 * H:])
+        c = f * c + i * g
+        h = (o * jnp.tanh(c)).astype(h_ref.dtype)
+        ys_ref[u] = h
+    c_ref[:] = c.astype(c_ref.dtype)
+    h_ref[:] = h
 
 
 def _lstm_step_kernel(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
@@ -99,8 +117,9 @@ def _lstm_forward_pallas(
     B, T, D = x.shape
     H4 = w_h.shape[-1]
     H = H4 // 4
+    U = _pick_unroll(T)
     xs = jnp.swapaxes(x, 0, 1)  # [T, B, D] — time-major for the grid
-    x_spec = pl.BlockSpec((1, B, D), lambda t: (t, 0, 0),
+    x_spec = pl.BlockSpec((U, B, D), lambda t: (t, 0, 0),
                           memory_space=pltpu.VMEM)
     common_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w_x resident
@@ -114,16 +133,16 @@ def _lstm_forward_pallas(
         operands = (xs, w_x, w_h, b.reshape(1, H4), h0, c0)
     else:
         keep = (1.0 - jnp.swapaxes(reset, 0, 1)).astype(x.dtype)[:, :, None]
-        keep_spec = pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+        keep_spec = pl.BlockSpec((U, B, 1), lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
         kernel = _lstm_step_kernel_reset
         in_specs = [x_spec, keep_spec] + common_specs
         operands = (xs, keep, w_x, w_h, b.reshape(1, H4), h0, c0)
     ys = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // U,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
         scratch_shapes=[pltpu.VMEM((B, H), x.dtype),
