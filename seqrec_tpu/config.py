@@ -140,6 +140,16 @@ class TrainConfig:
     # adagrad/sgd match dense updates exactly, adam becomes lazy-adam
     # (untouched rows skip moment decay). See train/sparse_embed.py.
     sparse_embedding_update: bool = False
+    # Cap on the sparse step's unique-row budget (0 = exact: budget covers
+    # every id the step could touch, B*T*2 + S for tied tables). The exact
+    # budget is worst-case-static — a Zipf batch touches far fewer distinct
+    # rows — and it sizes BOTH the per-step sub-table work and, when the
+    # table is row-sharded, the [K, D] collectives (benchmarks/scaling.py
+    # --analyze). With a cap, ids past the budget degrade SAFELY for that
+    # step: they embed as a zeros sentinel row and their table rows receive
+    # no update (never a wrong neighbor's row — overflow-safe remapping).
+    # Production embedding-system trade; leave 0 for exact training.
+    sparse_unique_budget: int = 0
     # Steps executed per compiled call: fit() groups this many consecutive
     # same-bucket batches into ONE [K, B, T+2] wire transfer and ONE
     # lax.scan'd executable, amortizing per-step host dispatch + H2D

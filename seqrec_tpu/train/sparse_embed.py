@@ -71,6 +71,19 @@ def remap(uids: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.searchsorted(uids, ids).astype(jnp.int32)
 
 
+def remap_capped(uids: jax.Array, ids: jax.Array) -> jax.Array:
+    """remap for a CAPPED budget (train.sparse_unique_budget): ids absent
+    from `uids` (overflow — the batch touched more distinct rows than the
+    budget) map to position K = len(uids), the caller-appended zeros
+    sentinel row — NEVER to a neighboring id's row, which is what a plain
+    searchsorted would silently do."""
+    K = uids.shape[0]
+    pos = jnp.searchsorted(uids, ids).astype(jnp.int32)
+    safe = jnp.clip(pos, 0, K - 1)
+    found = uids[safe] == ids
+    return jnp.where(found, safe, K).astype(jnp.int32)
+
+
 def _first_occurrence_mask(uids: jax.Array) -> jax.Array:
     """[K] 1.0 where this slot is the first occurrence of its id (sorted
     input); the duplicate fill slots get 0 so their scatter contribes vanish."""

@@ -391,23 +391,40 @@ class Trainer:
         else:
             fetch = lambda t, u: t[u]  # noqa: E731
 
-        uids_in = sparse_embed.collect_unique(
-            in_ids, sparse_embed.unique_budget(in_ids.shape[0], rows)
-        )
-        subs = {"in": fetch(tables["item_embedding"], uids_in)}
+        # Capped budget (train.sparse_unique_budget): overflow ids embed as
+        # an appended zeros sentinel row (position K) and contribute no
+        # update — see remap_capped. cap == 0 keeps the exact worst-case
+        # budget and the sentinel machinery entirely out of the graph.
+        cap = int(cfg.train.sparse_unique_budget or 0)
+        remap_fn = sparse_embed.remap_capped if cap else sparse_embed.remap
+
+        def budget(n: int) -> int:
+            b = sparse_embed.unique_budget(n, rows)
+            return min(b, cap) if cap else b
+
+        def with_sentinel(sub: jax.Array) -> jax.Array:
+            if not cap:
+                return sub
+            return jnp.concatenate(
+                [sub, jnp.zeros((1, sub.shape[1]), sub.dtype)]
+            )
+
+        uids_in = sparse_embed.collect_unique(in_ids,
+                                              budget(in_ids.shape[0]))
+        subs = {"in": with_sentinel(fetch(tables["item_embedding"], uids_in))}
         if tied:
             uids_out = uids_in
         else:
-            uids_out = sparse_embed.collect_unique(
-                out_ids,
-                sparse_embed.unique_budget(out_ids.shape[0], rows),
+            uids_out = sparse_embed.collect_unique(out_ids,
+                                                   budget(out_ids.shape[0]))
+            subs["out"] = with_sentinel(
+                fetch(tables["output_embedding"], uids_out)
             )
-            subs["out"] = fetch(tables["output_embedding"], uids_out)
 
         batch_r = dict(batch)
-        batch_r["inputs"] = sparse_embed.remap(uids_in, inputs)
-        batch_r["targets"] = sparse_embed.remap(uids_out, targets)
-        neg_ids_r = sparse_embed.remap(uids_out, neg_ids)
+        batch_r["inputs"] = remap_fn(uids_in, inputs)
+        batch_r["targets"] = remap_fn(uids_out, targets)
+        neg_ids_r = remap_fn(uids_out, neg_ids)
         pos_log_q = None
         if cfg.model.loss == "sampled_softmax" and neg_log_q is not None:
             # logQ must come from ORIGINAL ids (batch_r carries positions)
@@ -488,6 +505,8 @@ class Trainer:
         if not tied:
             per_table.append(("output_embedding", uids_out, g_subs["out"]))
         for name, uids, g in per_table:
+            if cap:
+                g = g[:-1]  # zeros-sentinel row: overflow updates dropped
             if self._needs_vocab_shard:
                 new_tables[name], new_embed_opt[name] = (
                     sparse_embed.sharded_row_update(
