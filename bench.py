@@ -7,8 +7,11 @@ GRU4Rec next-item config (vocab ~3.4k items, T=200, sampled softmax with
 
 The headline number is END-TO-END: it times ``Trainer.fit``'s own loop —
 native C++ loader, DevicePrefetcher H2D staging, compiled step — not a
-staged-batch compute proxy (VERDICT r2 missing #2). The compute-only figure
-(device-resident batches, upper bound) is reported in `detail` alongside.
+staged-batch compute proxy (VERDICT r2 missing #2). `detail.compute_only`
+is the device-resident PER-STEP-dispatch chain; with steps_per_call=8 the
+grouped e2e loop can legitimately beat it (one scan dispatch per 8 steps
+amortizes overhead a per-step chain cannot), so it is a reference point,
+not an upper bound.
 
 `vs_baseline` divides by the committed single-process CPU reference number
 (BASELINE.md; measured on this machine's host CPU with the identical config,
