@@ -150,6 +150,12 @@ class TrainConfig:
     # no update (never a wrong neighbor's row — overflow-safe remapping).
     # Production embedding-system trade; leave 0 for exact training.
     sparse_unique_budget: int = 0
+    # Persistent XLA compilation cache directory ("" disables). Cold relay
+    # compiles cost 40 s–10 min per executable (DESIGN.md §5); with this
+    # cache a fresh process deserializes them in under a second (measured
+    # 31.8 s → 0.69 s cross-process — runtime/compile_cache.py). Shared
+    # across configs/processes; keyed by (HLO, backend, flags).
+    compilation_cache_dir: str = "~/.cache/seqrec_xla"
     # Steps executed per compiled call: fit() groups this many consecutive
     # same-bucket batches into ONE [K, B, T+2] wire transfer and ONE
     # lax.scan'd executable, amortizing per-step host dispatch + H2D

@@ -5,3 +5,6 @@ from seqrec_tpu.runtime.mesh import (  # noqa: F401
     process_count,
     process_index,
 )
+from seqrec_tpu.runtime.compile_cache import (  # noqa: F401
+    enable_compilation_cache,
+)

@@ -27,7 +27,7 @@ from seqrec_tpu.data.negative import sample_negatives
 from seqrec_tpu.eval.harness import evaluate
 from seqrec_tpu.models import build_model
 from seqrec_tpu.models.model import SAMPLED_LOSSES
-from seqrec_tpu.runtime import make_mesh
+from seqrec_tpu.runtime import enable_compilation_cache, make_mesh
 from seqrec_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
 from seqrec_tpu.train.checkpoint import CheckpointManager, abstract_like
 from seqrec_tpu.train.state import TrainState, make_optimizer, make_schedule
@@ -90,6 +90,10 @@ class Trainer:
     def __init__(self, cfg: RunConfig, ds: Optional[SequenceDataset] = None,
                  mesh: Optional[Mesh] = None):
         self.cfg = cfg
+        # Before any jit: capture every executable this run compiles so the
+        # next process (driver rerun, eval-from-checkpoint, CI) pays
+        # deserialization, not recompilation (runtime/compile_cache.py).
+        enable_compilation_cache(cfg.train.compilation_cache_dir)
         self.ds = ds if ds is not None else load_dataset(cfg.data)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.model_axis)
         self.model = build_model(
