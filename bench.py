@@ -55,6 +55,7 @@ def main() -> int:
     from benchmarks.throughput import (
         bench_config,
         run_benchmark,
+        run_pipeline_alternating,
         run_pipeline_benchmark,
     )
 
@@ -78,11 +79,38 @@ def main() -> int:
     # seconds per STEP, so tiny chains — the slope still cancels constant
     # overhead.
     steps = 4 if on_cpu else 96
-    e2e = run_pipeline_benchmark(cfg(steps_per_call=1 if on_cpu else 8),
-                                 steps=steps, warmup=5)
-    e2e_k1 = None if on_cpu else run_pipeline_benchmark(
-        cfg(steps_per_call=1), steps=steps, warmup=5
-    )
+    ratio = None
+    if on_cpu:
+        e2e = run_pipeline_benchmark(cfg(steps_per_call=1), steps=steps,
+                                     warmup=5)
+        e2e_k1 = None
+    else:
+        # K=8 vs K=1 PAIRWISE-ALTERNATED in one process with a post-compile
+        # settle pass (VERDICT r4 #1): BENCH_r04 timed the K=8 chain right
+        # after a 404 s cold compile and captured 53.5k eps vs the 94.2k
+        # committed from warm runs, with K=8 ≈ K=1 in that capture — either
+        # relay congestion bleeding into the first timed chains or genuine
+        # cross-run variance. Alternation makes every rep a same-weather
+        # K8-vs-K1 comparison; the settle pass discards the first
+        # post-compile chains; reps=5 gives a median and a cross-rep spread.
+        both = run_pipeline_alternating(
+            {"e2e": cfg(steps_per_call=8), "e2e_k1": cfg(steps_per_call=1)},
+            steps=steps, warmup=5, reps=5, settle=True,
+        )
+        e2e, e2e_k1 = both["e2e"], both["e2e_k1"]
+        # Same-weather per-rep speedup of K=8 over K=1 (paired by rep).
+        pairs = [
+            (k1, k8)
+            for k1, k8 in zip(e2e_k1["slopes_ms"], e2e["slopes_ms"])
+            if k1 > 0 and k8 > 0
+        ]
+        if pairs:
+            rs = sorted(k1 / k8 for k1, k8 in pairs)
+            ratio = {
+                "k8_vs_k1_median": round(rs[len(rs) // 2], 3),
+                "k8_vs_k1_min": round(rs[0], 3),
+                "k8_vs_k1_max": round(rs[-1], 3),
+            }
     compute = run_benchmark(cfg(), steps=steps, warmup=5)
     eps = e2e["examples_per_s_per_chip"]
     detail = {
@@ -100,7 +128,8 @@ def main() -> int:
         "baseline_row": {
             "metric": "examples_per_s_per_chip_ml1m_gru4rec_e2e",
             "eps_per_chip": round(eps, 1),
-            "step_ms": e2e["step_time_ms"],
+            "step_ms": round(e2e["step_time_ms"], 4),
+            "step_ms_spread": e2e.get("spread_ms"),
             "steps_per_call": 1 if on_cpu else 8,
             "cpu_e2e_eps": CPU_BASELINE_E2E_EPS,
             "vs_cpu": round(eps / CPU_BASELINE_E2E_EPS, 1),
@@ -108,6 +137,8 @@ def main() -> int:
     }
     if e2e_k1 is not None:
         detail["e2e_k1"] = _round(e2e_k1)
+    if ratio is not None:
+        detail["baseline_row"].update(ratio)
     print(
         json.dumps(
             {

@@ -24,6 +24,7 @@ the same thing block_until_ready would, so it is safe everywhere.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Tuple
 
@@ -71,18 +72,60 @@ def _paired_slope(
     ]
     positive = sorted(s for s in slopes if s > 0)
     slope = positive[len(positive) // 2] if positive else float("nan")
+    # Cross-rep spread (max-min of the positive per-rep slopes): the error
+    # bar every committed number must carry (VERDICT r4 weak #2 — deltas
+    # acted on without knowing whether they exceed run-to-run variance).
+    # A comparison whose delta sits inside the union of the two spreads is
+    # noise, not evidence.
+    spread = (positive[-1] - positive[0]) if positive else float("nan")
     # Signal strength: the long/short difference should dwarf drift (~10 ms
     # scale on this relay); below that, the number is noise.
     med_r = slopes.index(slope) if positive else 0
     diff_s = times[n_long][med_r] - times[n_short][med_r]
+    try:
+        # Host contention poisons e2e loops (loader/prefetch/dispatch are
+        # host threads on a 2-core machine) — seen live: a concurrent
+        # pytest run inflated per-rep slopes 1.5 → 30 ms. Record the load
+        # average so a poisoned capture is self-diagnosing.
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-Linux
+        load_1m = float("nan")
     return slope, {
+        "host_load_1m": load_1m,
+        "host_cpus": os.cpu_count(),
         "chain_short_s": times[n_short][med_r],
         "chain_long_s": times[n_long][med_r],
         "n_short": n_short,
         "n_long": n_long,
         "reps": reps,
+        "slopes_ms": [round(s, 4) for s in slopes],
+        "spread_ms": round(spread, 4) if spread == spread else spread,
+        "spread_pct": (
+            round(100.0 * spread / slope, 1)
+            if positive and slope > 0
+            else float("nan")
+        ),
         "reliable": bool(positive) and diff_s > 0.05,
     }
+
+
+def median_slope(detail: dict) -> float:
+    """The reported slope of a `_paired_slope` detail (median of positive
+    per-rep slopes), recomputed from `slopes_ms`. NaN when no positive rep."""
+    positive = sorted(s for s in detail.get("slopes_ms", []) if s > 0)
+    return positive[len(positive) // 2] if positive else float("nan")
+
+
+def deltas_distinguishable(a: dict, b: dict) -> bool:
+    """True when two `_paired_slope` details differ by more than the larger
+    of their own cross-rep spreads — the repo's evidence rule for acting on
+    a comparison (DESIGN.md §5; VERDICT r4 weak #2). Details lacking spread
+    (NaN) are never distinguishable."""
+    sa, sb = a.get("spread_ms", float("nan")), b.get("spread_ms", float("nan"))
+    ma, mb = median_slope(a), median_slope(b)
+    if not (sa == sa and sb == sb and ma == ma and mb == mb):
+        return False
+    return abs(ma - mb) > max(sa, sb)
 
 
 def chain_slope_ms(
@@ -140,3 +183,40 @@ def run_slope_ms(
             run(n)
             times[n].append(time.perf_counter() - t0)
     return _paired_slope(times, n_short, n_long, reps)
+
+
+def alternating_run_slopes_ms(
+    runs: "dict[str, Callable[[int], None]]",
+    *,
+    n_short: int = 50,
+    n_long: int = 150,
+    reps: int = 5,
+) -> "dict[str, Tuple[float, dict]]":
+    """Time several self-contained chain runners PAIRWISE-ALTERNATED.
+
+    Relay round-trip latency drifts over minutes (DESIGN.md §5: ±15%
+    observed; BENCH_r04 showed cross-process swings up to ~1.7x). Two
+    configurations timed in separate blocks can therefore differ by more
+    than the effect being measured. This estimator interleaves all runners
+    within every rep — rep r times runner A's (short, long) pair, then
+    runner B's, then back to A for rep r+1 — so every runner samples the
+    same relay weather, and per-rep RATIOS between runners (slopes_ms[r] of
+    one over the other) are same-weather comparisons even when absolute
+    slopes drift. This is the required method for any committed A-vs-B
+    claim (steps_per_call grouping, kernel gates on e2e paths).
+
+    Each `runs[name](n)` must execute an n-step serially-dependent chain
+    ending in a host fetch (see run_slope_ms). Returns per-name
+    (median_slope_ms, detail) with cross-rep spreads in the detail.
+    """
+    times = {name: {n_short: [], n_long: []} for name in runs}
+    for _ in range(reps):
+        for name, run in runs.items():
+            for n in (n_short, n_long):
+                t0 = time.perf_counter()
+                run(n)
+                times[name][n].append(time.perf_counter() - t0)
+    return {
+        name: _paired_slope(times[name], n_short, n_long, reps)
+        for name in runs
+    }
