@@ -29,6 +29,18 @@ def run_scaling(
     max_len: int = 50,
     steps: int = 100,
 ) -> List[dict]:
+    # Fenced (VERDICT r4 #9): on the fake-device CPU mesh all "devices"
+    # share one CPU, so efficiency-vs-1 is meaningless by construction and
+    # this path must not emit it. Scaling *evidence* in this 1-chip
+    # environment comes from `--analyze` (emitted-collective volume model).
+    if jax.default_backend() == "cpu":
+        raise RuntimeError(
+            "run_scaling refuses to time fake CPU devices: efficiency "
+            "numbers would be meaningless (devices share one CPU). Use "
+            "`python -m benchmarks.scaling --analyze <config>` for the "
+            "emitted-collective scaling model, or run on a real multi-chip "
+            "slice."
+        )
     results = []
     base_eps = None
     for n in sizes:

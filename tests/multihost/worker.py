@@ -172,6 +172,50 @@ def main() -> int:
     out["session_sparse_carry_sum"] = checksum(
         jax.tree.leaves(new_d.carry)[0])
 
+    # Phase E: a short row-sharded fit() LOOP across the process boundary
+    # (VERDICT r4 #7). Phases B–D exercise the sharded collectives exactly
+    # once per step; this covers the loop-level multi-process interactions —
+    # per-bucket precompile, prefetcher threads, steps_per_call grouping,
+    # and an orbax checkpoint of the CROSS-PROCESS-SHARDED table saved at
+    # step 10 and restored (with analytic data fast-forward) by a second
+    # Trainer. Equality contract is WITHIN the topology: resume(10→20) must
+    # reproduce the continuous 20-step run's final table exactly — the data
+    # stream shards users per process, so 2-process and 1-process fits see
+    # different batches by design and are not comparable to each other.
+    base_dir = os.path.dirname(os.path.abspath(out_path))
+    cfg_e = sharded_cfg()
+    cfg_e.train.steps_per_call = 2
+    cfg_e.train.num_steps = 10
+    cfg_e.train.checkpoint_every = 10
+    cfg_e.train.log_every = 1000
+    cfg_e.train.out_dir = os.path.join(base_dir, f"fit_{nproc}proc")
+    tr_e = Trainer(cfg_e, ds=ds)
+    tr_e.fit()  # saves ckpt @10 (collective across both processes)
+
+    cfg_e.train.num_steps = 20
+    cfg_e.train.resume = True
+    tr_e2 = Trainer(cfg_e, ds=ds)
+    st_resumed, _ = tr_e2.fit()  # restore @10, fast-forward, run 10→20
+
+    cfg_f = sharded_cfg()
+    cfg_f.train.steps_per_call = 2
+    cfg_f.train.num_steps = 20
+    cfg_f.train.checkpoint_every = 0
+    cfg_f.train.log_every = 1000
+    cfg_f.train.out_dir = ""
+    tr_f = Trainer(cfg_f, ds=ds)
+    st_cont, _ = tr_f.fit()
+
+    cs_resumed = checksum(st_resumed.params["params"]["item_embedding"])
+    cs_cont = checksum(st_cont.params["params"]["item_embedding"])
+    out["fit_sharded_resume_table_sum"] = cs_resumed
+    rel = abs(cs_resumed - cs_cont) / max(abs(cs_cont), 1e-9)
+    assert rel < 1e-6, (
+        "sharded resume-from-checkpoint diverged from continuous fit",
+        cs_resumed, cs_cont, rel,
+    )
+    out["fit_sharded_resume_rel_err"] = rel
+
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
 
