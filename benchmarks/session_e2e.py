@@ -24,7 +24,11 @@ from __future__ import annotations
 import json
 import sys
 
-from benchmarks.throughput import bench_config, run_benchmark, run_pipeline_benchmark
+from benchmarks.throughput import (
+    bench_config,
+    run_benchmark,
+    run_pipeline_alternating,
+)
 from seqrec_tpu.data.dataset import synthetic_dataset
 
 
@@ -67,15 +71,20 @@ def main() -> int:
         print(json.dumps({
             "config": name, "mode": "compute_only", **_round(compute),
         }), flush=True)
+        # K=1 vs K=16 pairwise-alternated (same-weather comparison + settle
+        # + cross-rep spreads — DESIGN.md §5 r5 evidence rules).
+        cfgs = {}
         for k in (1, 16):
-            cfg = _cfg(name)
-            cfg.train.steps_per_call = k
-            e2e = run_pipeline_benchmark(cfg, steps=96, warmup=5, ds=ds)
+            cfgs[f"e2e_k{k}"] = c = _cfg(name)
+            c.train.steps_per_call = k
+        both = run_pipeline_alternating(cfgs, steps=96, warmup=5, ds=ds)
+        for mode, e2e in both.items():
             print(json.dumps({
-                "config": name, "mode": f"e2e_k{k}",
+                "config": name, "mode": mode,
                 "windows_per_s_per_chip": e2e["examples_per_s_per_chip"],
                 "interactions_per_s_per_chip": round(
-                    e2e["examples_per_s_per_chip"] * cfg.data.max_len, 1
+                    e2e["examples_per_s_per_chip"] * cfgs[mode].data.max_len,
+                    1,
                 ),
                 **_round(e2e),
             }), flush=True)

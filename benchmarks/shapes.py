@@ -142,6 +142,7 @@ def main() -> int:
                 else None
             ),
             "temp_mb": round(temp / 1e6, 1) if temp is not None else None,
+            "spread_ms": res["spread_ms"],
             "reliable": res["reliable"],
             "backend": backend,
         }

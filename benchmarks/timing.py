@@ -160,6 +160,41 @@ def chain_slope_ms(
     return _paired_slope(times, n_short, n_long, reps)
 
 
+def alternating_chain_slopes_ms(
+    chains: "dict[str, Tuple[Callable, Callable]]",
+    *,
+    n_short: int = 50,
+    n_long: int = 150,
+    reps: int = 4,
+) -> "dict[str, Tuple[float, dict]]":
+    """chain_slope_ms for several (step, seed) candidates PAIRWISE-ALTERNATED
+    (see alternating_run_slopes_ms for why): every rep times each
+    candidate's (short, long) chain pair back-to-back, so per-rep
+    comparisons between candidates sample the same relay weather. Required
+    for committed kernel-gate decisions (DESIGN.md §5 r5 rules).
+
+    Each candidate's jitted `step` must already be traced/compiled (call it
+    once before) if its trace reads ambient state — e.g. a module-level
+    tile override — so alternation cannot bake the wrong config.
+    """
+    times = {name: {n_short: [], n_long: []} for name in chains}
+    for _ in range(reps):
+        for name, (step, seed) in chains.items():
+            for n in (n_short, n_long):
+                c = step(seed(), 0)  # drain marker (already compiled)
+                fetch_scalar(c)
+                t0 = time.perf_counter()
+                for i in range(n):
+                    c = step(c, i + 1)
+                fetch_scalar(c)
+                times[name][n].append(time.perf_counter() - t0)
+                c = None
+    return {
+        name: _paired_slope(times[name], n_short, n_long, reps)
+        for name in chains
+    }
+
+
 def run_slope_ms(
     run: Callable[[int], None],
     *,
