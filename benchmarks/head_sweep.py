@@ -92,6 +92,9 @@ def make_step(path: str, bn: int, N: int, H: int, S: int, V: int):
 
 
 def main() -> int:
+    from seqrec_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/seqrec_xla")
     results = []
     for label, N, H, S in SHAPES:
         V = 100_000
@@ -127,12 +130,28 @@ def main() -> int:
         row["xla_ms"] = round(ms_xla, 4)
         row["xla_spread_ms"] = det["spread_ms"]
         row["xla_reliable"] = det["reliable"]
+        xla_reps = det["slopes_ms"]
         for name, (ms, det) in slopes.items():
             if name == "xla":
                 continue
             row[f"{name}_ms"] = round(ms, 4)
             row[f"{name}_spread_ms"] = det["spread_ms"]
             row[f"{name}_reliable"] = det["reliable"]
+            # SAME-WEATHER per-rep speedup vs XLA: rep r of every candidate
+            # ran back-to-back with rep r of XLA, so the ratio within a rep
+            # cancels the slow relay drift that inflates the absolute
+            # spreads above (each candidate's own reps span the whole
+            # multi-minute alternation window). Gate decisions act on the
+            # median per-rep ratio and its range — not on absolute spreads.
+            pairs = [(x, p) for x, p in zip(xla_reps, det["slopes_ms"])
+                     if x > 0 and p > 0]
+            if pairs:
+                rs = sorted(x / p for x, p in pairs)
+                row[f"{name}_vs_xla_per_rep"] = {
+                    "median": round(rs[len(rs) // 2], 3),
+                    "min": round(rs[0], 3),
+                    "max": round(rs[-1], 3),
+                }
         best_name = min(
             (k for k in slopes if k != "xla"),
             key=lambda k: slopes[k][0],
@@ -143,8 +162,9 @@ def main() -> int:
             row["best_pallas_over_xla"] = (
                 round(ms_xla / best, 3) if best == best else None
             )
-            # The gate may only act on this row if the winner's delta vs
-            # XLA exceeds both spreads (timing.deltas_distinguishable).
+            # Conservative cross-window check kept for reference (absolute
+            # spreads; usually swallowed by drift — prefer the per-rep
+            # ratios above).
             row["distinguishable_from_xla"] = deltas_distinguishable(
                 slopes["xla"][1], slopes[best_name][1]
             ) if best == best else False

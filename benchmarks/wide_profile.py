@@ -161,6 +161,9 @@ def bench_head() -> dict:
 
 
 def main() -> int:
+    from seqrec_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/seqrec_xla")
     out = {"shape": f"gru4rec D={D} B={B} T={T} S={S} V={V} (wide demo)"}
     out["full"] = bench_full()
     out["scan"] = bench_scan()

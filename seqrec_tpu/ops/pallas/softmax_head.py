@@ -27,32 +27,45 @@ BN: Optional[int] = None  # rows per grid step; None = auto (_row_tile)
 NEG_INF = -1e30
 
 
-def _row_tile(S: int) -> int:
+def _row_tile(S: int, H: int = 128) -> int:
     """Rows per grid step. Measured on-chip (v5e, N=25600, fwd+bwd chains,
-    benchmarks/head_sweep.py 2026-08-20): at S=512 the tall 1024-row tile is
-    best (0.112 ms vs 0.140 at BN=256); at S≥1024 the [BN, S] block dominates
-    VMEM so the shorter tile wins. BN (module-level) overrides for sweeps."""
+    benchmarks/head_sweep.py): at S=512/H≤128 the tall 1024-row tile is
+    best (r4: 0.112 ms vs 0.140 at BN=256); at H=256 the [BN, H] blocks eat
+    the VMEM the negatives need, and BN=512 wins (r5 alternated per-rep
+    1.215x vs 1.075x at BN=1024); at S≥1024 the [BN, S] block dominates so
+    the shorter tile wins. BN (module-level) overrides for sweeps."""
     if BN is not None:
         return BN
-    return 1024 if S <= 512 else 256
+    if S > 512:
+        return 256
+    return 1024 if H <= 128 else 512
 
 
 def supported(h: jax.Array, neg_emb: jax.Array) -> bool:
     N, H = h.shape
     S = neg_emb.shape[0]
-    # Measured on-chip at SHIPPED shapes (v5e, N=B*T=25600, fwd+bwd,
-    # fetch-terminated slope, benchmarks/head_sweep.py 2026-08-20): the fused
-    # head wins 2.2x at S=512/H=128 — the synthetic10m config's head shape —
-    # (0.112 vs 0.248 ms XLA, BN=1024) and is parity at S=1024/H=128 (0.536
-    # vs 0.557); at S=256 XLA's fusion is at parity or better (H=64: 0.133
-    # both; H=128: 0.110 XLA vs 0.115), so the gate opens at S ≥ 512.
-    # ADVICE r3 follow-up: the wider H=256/S=512 head (wide-sasrec demo) was
-    # unmeasured at this tile — round-4 sweep: Pallas BN=1024 0.382 ms vs
-    # XLA 0.523 ms (1.37x win), so the gate correctly covers H=256 too.
+    # The gate opens at S >= 512 and H <= 256. Every (H, S) class it routes
+    # has a committed measurement (benchmarks/head_sweep.py; r5 numbers are
+    # PAIRWISE-ALTERNATED same-weather per-rep ratios — DESIGN.md §5):
+    #   S=512/H=64..128 (shipped synthetic10m head): 2.2x (r4, BN=1024);
+    #     r5 quiet-host sequential 1.68x, alternated median 1.6-1.8x.
+    #   S=512/H=256 (wide-sasrec demo): 1.215x at BN=512 (r5 alternated,
+    #     range 0.95-1.26; r4 sequential said 1.37x at BN=1024 — the tile
+    #     choice moved under same-weather data, the win did not).
+    #   S=1024/H=128: parity (r5 alternated 1.004, spread 1%; r4: 1.008) —
+    #     open is harmless, kept for the S-adaptive tile's coverage.
+    # Explicitly NOT routed:
+    #   H=512 (wide-GRU demo head): measured EXACT parity at every tile
+    #     (r5 alternated medians 1.003/1.003/1.008, spreads <2%) — XLA
+    #     already blocks/fuses this shape optimally; routing buys nothing.
+    #   S=256 (ml1m/beauty/rsc15-sampled heads): XLA parity or better
+    #     (r4: H=64 0.133 both, H=128 0.110 XLA vs 0.115).
+    #   bpr_max S=2048: stays XLA by memory_analysis evidence (70.5 MB
+    #     temp — no [N, S] pair materializes; BASELINE.md).
     # neg_emb + per-tile blocks must also fit comfortably in VMEM.
-    bn = _row_tile(S)
+    bn = _row_tile(S, H)
     vmem = 4 * (S * H + bn * (2 * H + 2 * S))
-    return (H % 8 == 0 and S % 8 == 0 and S >= 512
+    return (H % 8 == 0 and S % 8 == 0 and S >= 512 and H <= 256
             and vmem < 8 * 1024 * 1024)
 
 
@@ -84,7 +97,7 @@ def _head_pallas(h, pos_emb, neg_emb, targets, neg_ids, pos_log_q, neg_log_q,
                  interpret=False):
     N, H = h.shape
     S = neg_emb.shape[0]
-    bn = _row_tile(S)
+    bn = _row_tile(S, H)
     n_pad = ((N + bn - 1) // bn) * bn
     pad = n_pad - N
     if pad:
