@@ -9,7 +9,10 @@ each hot component in isolation with the same fetch-terminated slope method
 and commits an additive breakdown:
 
 - ``full``      the compiled train step (fwd+bwd+adam), run_benchmark
-- ``scan``      gru_scan fwd+bwd alone (bf16 wide mode, the routed path)
+- ``scan``      gru_scan fwd+bwd alone via ops.dispatch (the path the real
+                step runs — XLA at this width: benchmarks/scan_ab.py r5
+                measured XLA 1.66x FASTER than the Pallas kernel at D=512,
+                so the gate routes XLA here)
 - ``embed``     item-table traffic alone: input gather [N=B*T] + target
                 gather [N] + neg gather [S] from the [V, D] table, backward
                 scatter-add into a dense [V, D] grad, and an adam-shaped
@@ -38,8 +41,8 @@ import numpy as np
 
 from benchmarks.throughput import bench_config, run_benchmark
 from benchmarks.timing import chain_slope_ms
+from seqrec_tpu.ops import dispatch
 from seqrec_tpu.ops import xla as xla_ops
-from seqrec_tpu.ops.pallas import gru as pl_gru
 
 B, T, D, S, V = 256, 200, 512, 512, 10_000
 N = B * T
@@ -72,7 +75,7 @@ def bench_scan() -> dict:
         return (x, h0, w_x, w_h)
 
     def loss(x, h0, w_x, w_h):
-        ys, _ = pl_gru.gru_scan(x, h0, w_x, w_h)
+        ys, _ = dispatch.gru_scan(x, h0, w_x, w_h)
         return jnp.sum(ys.astype(jnp.float32) ** 2) * 1e-6
 
     grad = jax.value_and_grad(loss, argnums=(0, 2, 3))
