@@ -29,23 +29,27 @@ from seqrec_tpu.ops.pallas import gru as pl_gru
 from seqrec_tpu.ops.pallas import lstm as pl_lstm
 from seqrec_tpu.runtime import enable_compilation_cache
 
-# (label, B, T, D, n_short) — every distinct recurrent width a shipped
-# config or committed demo runs, at its shipped batch/length. n_short is
-# sized so the long-short chain gap dwarfs relay drift (>= 50 ms) at the
-# shape's expected sub-ms..ms step time; n_long = 4*n_short.
+# (label, B, T, D, n_short, inner) — every distinct recurrent width a
+# shipped config or committed demo runs, at its shipped batch/length.
+# `inner` = fwd+bwd iterations folded into ONE dispatched chain step:
+# sub-ms ops on this relay are DISPATCH-bound (measured: 0.1-0.5 ms/step
+# chains swing 2-5x between same-day runs while >=1.4 ms/step chains hold
+# to ~1-8%), so each dispatch must carry >= ~1.5 ms of compute for the
+# slope to measure the op instead of dispatch-rate weather. Reported ms is
+# per single fwd+bwd (slope / inner). n_long = 4*n_short.
 GRU_SHAPES = [
-    ("ml1m_D64", 128, 200, 64, 400),
-    ("synthetic10m_D128_T50", 256, 50, 128, 800),
-    ("beauty_D256_T50", 128, 50, 256, 800),
-    ("wide_demo_D512", 256, 200, 512, 50),
+    ("ml1m_D64", 128, 200, 64, 100, 8),
+    ("synthetic10m_D128_T50", 256, 50, 128, 100, 8),
+    ("beauty_D256_T50", 128, 50, 256, 100, 8),
+    ("wide_demo_D512", 256, 200, 512, 50, 1),
 ]
 LSTM_SHAPES = [
-    ("ml1m_lstm_D128", 128, 200, 128, 300),
-    ("wide_lstm_D512", 256, 200, 512, 50),
+    ("ml1m_lstm_D128", 128, 200, 128, 100, 4),
+    ("wide_lstm_D512", 256, 200, 512, 50, 1),
 ]
 
 
-def _chains_gru(B, T, D):
+def _chains_gru(B, T, D, inner=1):
     rng = np.random.default_rng(0)
 
     def seed():
@@ -66,18 +70,20 @@ def _chains_gru(B, T, D):
         @jax.jit
         def step(carry, _i):
             x, h0, w_x, w_h = carry
-            _, (dx, dwx, dwh) = grad(x, h0, w_x, w_h)
             lr = jnp.bfloat16(1e-6)
-            return (x - lr * dx.astype(x.dtype), h0,
-                    w_x - lr * dwx.astype(w_x.dtype),
-                    w_h - lr * dwh.astype(w_h.dtype))
+            for _ in range(inner):  # serially-dependent fwd+bwd iterations
+                _, (dx, dwx, dwh) = grad(x, h0, w_x, w_h)
+                x = x - lr * dx.astype(x.dtype)
+                w_x = w_x - lr * dwx.astype(w_x.dtype)
+                w_h = w_h - lr * dwh.astype(w_h.dtype)
+            return (x, h0, w_x, w_h)
 
         return step, seed
 
     return {"xla": make(xla_ops.gru_scan), "pallas": make(pl_gru.gru_scan)}
 
 
-def _chains_lstm(B, T, D):
+def _chains_lstm(B, T, D, inner=1):
     rng = np.random.default_rng(0)
 
     def seed():
@@ -99,11 +105,13 @@ def _chains_lstm(B, T, D):
         @jax.jit
         def step(carry, _i):
             x, h0, c0, w_x, w_h = carry
-            _, (dx, dwx, dwh) = grad(x, h0, c0, w_x, w_h)
             lr = jnp.bfloat16(1e-6)
-            return (x - lr * dx.astype(x.dtype), h0, c0,
-                    w_x - lr * dwx.astype(w_x.dtype),
-                    w_h - lr * dwh.astype(w_h.dtype))
+            for _ in range(inner):  # serially-dependent fwd+bwd iterations
+                _, (dx, dwx, dwh) = grad(x, h0, c0, w_x, w_h)
+                x = x - lr * dx.astype(x.dtype)
+                w_x = w_x - lr * dwx.astype(w_x.dtype)
+                w_h = w_h - lr * dwh.astype(w_h.dtype)
+            return (x, h0, c0, w_x, w_h)
 
         return step, seed
 
@@ -111,11 +119,13 @@ def _chains_lstm(B, T, D):
             "pallas": make(pl_lstm.lstm_scan)}
 
 
-def run_shape(cell, label, B, T, D, n_short=50) -> dict:
-    makers = _chains_gru(B, T, D) if cell == "gru" else _chains_lstm(B, T, D)
+def run_shape(cell, label, B, T, D, n_short=50, inner=1) -> dict:
+    makers = (_chains_gru(B, T, D, inner) if cell == "gru"
+              else _chains_lstm(B, T, D, inner))
     mod = pl_gru if cell == "gru" else pl_lstm
     chains = {}
-    row = {"cell": cell, "shape": label, "B": B, "T": T, "D": D}
+    row = {"cell": cell, "shape": label, "B": B, "T": T, "D": D,
+           "inner": inner}
     for name, (step, seed) in makers.items():
         if name == "pallas":
             # The kernel must actually fit: drop the unroll to 1 if the
@@ -142,8 +152,8 @@ def run_shape(cell, label, B, T, D, n_short=50) -> dict:
     out = alternating_chain_slopes_ms(chains, n_short=n_short,
                                       n_long=4 * n_short, reps=4)
     for name, (ms, det) in out.items():
-        row[f"{name}_ms"] = round(ms, 3)
-        row[f"{name}_spread_ms"] = det["spread_ms"]
+        row[f"{name}_ms"] = round(ms / inner, 4)
+        row[f"{name}_spread_ms"] = round(det["spread_ms"] / inner, 4)
     pairs = [
         (a, b)
         for a, b in zip(out["xla"][1]["slopes_ms"], out["pallas"][1]["slopes_ms"])
@@ -164,8 +174,8 @@ def main() -> int:
     cells = sys.argv[1:] or ["gru", "lstm"]
     for cell in cells:
         shapes = GRU_SHAPES if cell == "gru" else LSTM_SHAPES
-        for label, B, T, D, n_short in shapes:
-            print(json.dumps(run_shape(cell, label, B, T, D, n_short)),
+        for label, B, T, D, n_short, inner in shapes:
+            print(json.dumps(run_shape(cell, label, B, T, D, n_short, inner)),
                   flush=True)
     return 0
 

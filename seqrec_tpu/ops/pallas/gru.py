@@ -52,12 +52,30 @@ def _pick_unroll(T: int) -> int:
 
 
 def supported(x: jax.Array, h0: jax.Array) -> bool:
-    """Kernel constraints: sublane-aligned dims, modest VMEM footprint."""
+    """Dispatch gate: sublane-aligned dims, modest VMEM footprint, and the
+    MEASURED win window only (r5 re-audit, benchmarks/scan_ab.py).
+
+    History: r3/r4 measured this kernel "2x XLA" with per-step-dispatch
+    chains of sub-ms ops — which time the relay's DISPATCH rate, not the
+    op (DESIGN.md §5). With dispatch amortized (inner-folded chains, the
+    same amortization `steps_per_call=8` gives every shipped config), the
+    r5 alternated per-rep ratios flipped: XLA's fused scan wins 1.86x at
+    the ml1m shape (B=128, T=200, D=H=64: 0.215 vs 0.398 ms fwd+bwd,
+    spread 1%), 1.66x at the wide demo (D=512), and the full ml1m train
+    step runs 1.465x faster with XLA routed (1.031 vs 1.379 ms, same-
+    weather). The kernel's one measured win is SHORT windows at moderate
+    width — the session regime: B=256, T=50, D=H=128 (the rsc15_10m /
+    synthetic10m shape) at 1.166x (spread 5%); D=256/T=50 is parity
+    (0.959, range 0.87-1.30). The gate therefore opens ONLY for
+    T <= 64 and D, H <= 128; everything else routes to XLA by
+    measurement. The kernel stays parity-tested as the fused-scan seam
+    (PARITY.md #5)."""
     B, T, D = x.shape
     H = h0.shape[-1]
     U = _pick_unroll(T)
     vmem = 4 * (U * B * D + B * H * (1 + U) + (D + H) * 3 * H + B * 3 * H)
-    return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
+    return (H % 8 == 0 and D % 8 == 0 and T <= 64
+            and D <= 128 and H <= 128 and vmem < 10 * 1024 * 1024)
 
 
 def _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,
