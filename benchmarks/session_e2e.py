@@ -64,10 +64,19 @@ def _round(d):
 
 
 def main() -> int:
-    names = sys.argv[1:] or ["gru64", "rsc15"]
+    args = sys.argv[1:]
+    # Session steps are sub-ms at K=16; per-fit() setup (lane fill, native
+    # engine spin-up) has ~100 ms-scale variance that only long chains
+    # dwarf (DESIGN.md §5). 96-step chains measured 100-250% spreads;
+    # --steps=480 puts chains at ~0.3-1.5 s.
+    steps = 480
+    names = [a for a in args if not a.startswith("--")] or ["gru64", "rsc15"]
+    for a in args:
+        if a.startswith("--steps="):
+            steps = int(a.split("=", 1)[1])
     for name in names:
         ds = _session_ds()
-        compute = run_benchmark(_cfg(name), steps=96, warmup=5, ds=ds)
+        compute = run_benchmark(_cfg(name), steps=steps, warmup=5, ds=ds)
         print(json.dumps({
             "config": name, "mode": "compute_only", **_round(compute),
         }), flush=True)
@@ -77,7 +86,7 @@ def main() -> int:
         for k in (1, 16):
             cfgs[f"e2e_k{k}"] = c = _cfg(name)
             c.train.steps_per_call = k
-        both = run_pipeline_alternating(cfgs, steps=96, warmup=5, ds=ds)
+        both = run_pipeline_alternating(cfgs, steps=steps, warmup=5, ds=ds)
         for mode, e2e in both.items():
             print(json.dumps({
                 "config": name, "mode": mode,
