@@ -39,6 +39,7 @@ from seqrec_tpu.runtime import enable_compilation_cache
 # per single fwd+bwd (slope / inner). n_long = 4*n_short.
 GRU_SHAPES = [
     ("ml1m_D64", 128, 200, 64, 100, 8),
+    ("session_gru64_T50", 128, 50, 64, 100, 16),
     ("synthetic10m_D128_T50", 256, 50, 128, 100, 8),
     ("beauty_D256_T50", 128, 50, 256, 100, 8),
     ("wide_demo_D512", 256, 200, 512, 50, 1),

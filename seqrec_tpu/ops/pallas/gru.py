@@ -65,17 +65,19 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     step runs 1.465x faster with XLA routed (1.031 vs 1.379 ms, same-
     weather). The kernel's one measured win is SHORT windows at moderate
     width — the session regime: B=256, T=50, D=H=128 (the rsc15_10m /
-    synthetic10m shape) at 1.166x (spread 5%); D=256/T=50 is parity
-    (0.959, range 0.87-1.30). The gate therefore opens ONLY for
-    T <= 64 and D, H <= 128; everything else routes to XLA by
-    measurement. The kernel stays parity-tested as the fused-scan seam
-    (PARITY.md #5)."""
+    synthetic10m shape) at 1.166x (spread 5%). Measured NON-wins at short
+    T: D=64/T=50 0.942 (spread 1.5%) and D=256/T=50 0.959 (range
+    0.87-1.30) — XLA at or above parity on both sides of 128. The gate
+    therefore opens ONLY for T <= 64 and 64 < D,H <= 128; everything
+    else routes to XLA by measurement. The kernel stays parity-tested as
+    the fused-scan seam (PARITY.md #5)."""
     B, T, D = x.shape
     H = h0.shape[-1]
     U = _pick_unroll(T)
     vmem = 4 * (U * B * D + B * H * (1 + U) + (D + H) * 3 * H + B * 3 * H)
     return (H % 8 == 0 and D % 8 == 0 and T <= 64
-            and D <= 128 and H <= 128 and vmem < 10 * 1024 * 1024)
+            and 64 < D <= 128 and 64 < H <= 128
+            and vmem < 10 * 1024 * 1024)
 
 
 def _gru_step_body(x_ref, w_x_ref, w_h_ref, b_x_ref, b_h_ref, h0_ref,

@@ -47,7 +47,7 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     (benchmarks/scan_ab.py, dispatch-amortized alternated chains) measured
     XLA 1.18x FASTER than this kernel at the shipped ml1m_lstm shape
     (B=128, T=200, D=H=128: 0.491 vs 0.579 ms fwd+bwd, spread 1%), so
-    long-T routes to XLA. The short-window case (T <= 64, D,H <= 128)
+    long-T routes to XLA. The short-window case (T <= 64, 64 < D,H <= 128)
     stays open by extrapolation from the GRU's measured 1.166x win in
     that regime (same grid/unroll structure; no shipped LSTM config runs
     it today — re-measure with scan_ab before relying on it)."""
@@ -56,7 +56,8 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     U = _pick_unroll(T)
     vmem = 4 * (U * B * D + B * H * (2 + U) + (D + H) * 4 * H + B * 4 * H)
     return (H % 8 == 0 and D % 8 == 0 and T <= 64
-            and D <= 128 and H <= 128 and vmem < 10 * 1024 * 1024)
+            and 64 < D <= 128 and 64 < H <= 128
+            and vmem < 10 * 1024 * 1024)
 
 
 def _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
