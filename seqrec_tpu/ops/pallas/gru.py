@@ -63,19 +63,24 @@ def supported(x: jax.Array, h0: jax.Array) -> bool:
     the ml1m shape (B=128, T=200, D=H=64: 0.215 vs 0.398 ms fwd+bwd,
     spread 1%), 1.66x at the wide demo (D=512), and the full ml1m train
     step runs 1.465x faster with XLA routed (1.031 vs 1.379 ms, same-
-    weather). The kernel's one measured win is SHORT windows at moderate
-    width — the session regime: B=256, T=50, D=H=128 (the rsc15_10m /
-    synthetic10m shape) at 1.166x (spread 5%). Measured NON-wins at short
-    T: D=64/T=50 0.942 (spread 1.5%) and D=256/T=50 0.959 (range
-    0.87-1.30) — XLA at or above parity on both sides of 128. The gate
-    therefore opens ONLY for T <= 64 and 64 < D,H <= 128; everything
-    else routes to XLA by measurement. The kernel stays parity-tested as
-    the fused-scan seam (PARITY.md #5)."""
+    weather). The boundary is WIDTH, not sequence length. Measured points
+    (isolated scan A/B via scan_ab.py; full-step alternated A/B where
+    noted — the step level overrules micro numbers, see lstm.py):
+      D=64/T=200: XLA 1.465x (FULL STEP)   D=64/T=50: XLA 1.06x
+      D=128/T=50: kernel 1.166x            D=128/T=200: kernel ~1.03x
+                                           (FULL STEP, range 0.69-0.99)
+      D=256/T=50: parity (step, noisy)     D=512/T=200: XLA 1.66x
+    At D=64 the per-step matmul is so small that XLA's unrolled scan body
+    fuses better than the kernel's grid machinery; at D>=256 XLA's scan
+    is at/above parity and the kernel buys nothing. The gate opens ONLY
+    for 64 < D,H <= 128 (any T) — the shipped session/large-catalog
+    width (rsc15_10m, synthetic10m) — and routes XLA elsewhere. The
+    kernel stays parity-tested as the fused-scan seam (PARITY.md #5)."""
     B, T, D = x.shape
     H = h0.shape[-1]
     U = _pick_unroll(T)
     vmem = 4 * (U * B * D + B * H * (1 + U) + (D + H) * 3 * H + B * 3 * H)
-    return (H % 8 == 0 and D % 8 == 0 and T <= 64
+    return (H % 8 == 0 and D % 8 == 0
             and 64 < D <= 128 and 64 < H <= 128
             and vmem < 10 * 1024 * 1024)
 

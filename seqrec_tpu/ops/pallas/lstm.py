@@ -43,21 +43,24 @@ def _pick_unroll(T: int) -> int:
 
 
 def supported(x: jax.Array, h0: jax.Array) -> bool:
-    """Dispatch gate: same policy as ops/pallas/gru.py — r5 re-audit
-    (benchmarks/scan_ab.py, dispatch-amortized alternated chains) measured
-    XLA 1.18x FASTER than this kernel at the shipped ml1m_lstm shape
-    (B=128, T=200, D=H=128: 0.491 vs 0.579 ms fwd+bwd, spread 1%), so
-    long-T routes to XLA. The short-window case (T <= 64, 64 < D,H <= 128)
-    stays open by extrapolation from the GRU's measured 1.166x win in
-    that regime (same grid/unroll structure; no shipped LSTM config runs
-    it today — re-measure with scan_ab before relying on it)."""
+    """Dispatch gate: sublane-aligned dims, modest VMEM footprint — kernel
+    ON wherever it fits.
+
+    r5 audit detail (the step level overrules the micro level): the
+    ISOLATED scan A/B (benchmarks/scan_ab.py) reads XLA 1.18x faster at
+    the shipped ml1m_lstm shape (D=H=128, T=200), but the FULL-train-step
+    alternated A/B reads the KERNEL 1.12x faster (2.086 vs 2.344 ms,
+    per-rep ratio 0.896, range 0.82-0.90) — in an isolated chain XLA can
+    fuse the toy loss into its own scan while the kernel is an opaque
+    custom call, biasing micro numbers against the kernel. Real steps
+    surround the scan with embedding/head work, and there the kernel's
+    VMEM-resident state wins. (The GRU gate's flip is step-level-confirmed
+    in the other direction: XLA 1.465x on the full ml1m step — gru.py.)"""
     B, T, D = x.shape
     H = h0.shape[-1]
     U = _pick_unroll(T)
     vmem = 4 * (U * B * D + B * H * (2 + U) + (D + H) * 4 * H + B * 4 * H)
-    return (H % 8 == 0 and D % 8 == 0 and T <= 64
-            and 64 < D <= 128 and 64 < H <= 128
-            and vmem < 10 * 1024 * 1024)
+    return H % 8 == 0 and D % 8 == 0 and vmem < 10 * 1024 * 1024
 
 
 def _lstm_step_body(x_ref, w_x_ref, w_h_ref, b_ref, h0_ref, c0_ref,
