@@ -62,6 +62,12 @@ def supported(h: jax.Array, neg_emb: jax.Array) -> bool:
     #     (r4: H=64 0.133 both, H=128 0.110 XLA vs 0.115).
     #   bpr_max S=2048: stays XLA by memory_analysis evidence (70.5 MB
     #     temp — no [N, S] pair materializes; BASELINE.md).
+    # Step-level cross-checks (full-train-step alternated A/Bs, r5): the
+    # S=256 exclusion holds in-step (forcing the kernel into the headline
+    # ml1m step costs 14%); the S=512/H=128 inclusion is in-step parity at
+    # the shipped synthetic10m shape (the head is ~15% of that step, so
+    # the isolated win is inside step-level weather) — open by isolated
+    # measurement, harmless by step measurement.
     # neg_emb + per-tile blocks must also fit comfortably in VMEM.
     bn = _row_tile(S, H)
     vmem = 4 * (S * H + bn * (2 * H + 2 * S))
