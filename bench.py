@@ -93,10 +93,34 @@ def main() -> int:
         # cross-run variance. Alternation makes every rep a same-weather
         # K8-vs-K1 comparison; the settle pass discards the first
         # post-compile chains; reps=5 gives a median and a cross-rep spread.
-        both = run_pipeline_alternating(
-            {"e2e": cfg(steps_per_call=8), "e2e_k1": cfg(steps_per_call=1)},
-            steps=steps, warmup=5, reps=5, settle=True,
-        )
+        # The relay oscillates between good and bad dispatch phases
+        # (BASELINE.md reproducibility ledger: clean captures spread
+        # 8-26%, bad-phase captures 50-70% and discard themselves). A
+        # single-shot run of record can land in a bad phase, so retry the
+        # measurement block (compile caches keep re-setup cheap) up to 3
+        # times and keep the attempt with the smallest e2e spread; every
+        # attempt's spread is reported so a still-noisy final number
+        # remains self-flagging.
+        import time as _time
+
+        best, attempts = None, []
+        for attempt in range(3):
+            both = run_pipeline_alternating(
+                {"e2e": cfg(steps_per_call=8),
+                 "e2e_k1": cfg(steps_per_call=1)},
+                steps=steps, warmup=5, reps=5, settle=True,
+            )
+            sp = both["e2e"]["spread_pct"]
+            attempts.append(round(sp, 1) if sp == sp else None)
+            if best is None or (
+                sp == sp and sp < best["e2e"]["spread_pct"]
+            ):
+                best = both
+            if sp == sp and sp <= 20.0:
+                break
+            _time.sleep(20)  # let a bad dispatch phase pass
+        both = best
+        both["e2e"]["spread_attempts_pct"] = attempts
         e2e, e2e_k1 = both["e2e"], both["e2e_k1"]
         # Same-weather per-rep speedup of K=8 over K=1 (paired by rep).
         pairs = [
