@@ -27,12 +27,17 @@ import json
 import sys
 
 # Measured on this host's CPU with the identical config and pure-XLA ops:
-# python bench.py --cpu  (2026-08-20, fetch-terminated slope; see BASELINE.md
-# "measured CPU baseline"). e2e = Trainer.fit's own loop incl. data pipeline
-# (slower than compute-only on CPU because host batch assembly competes with
-# XLA for the same cores; on TPU the prefetcher overlaps them instead).
-CPU_BASELINE_E2E_EPS = 93.82
-CPU_BASELINE_COMPUTE_EPS = 157.47
+# python bench.py --cpu. r5 RE-BASED (2026-08-21, two agreeing quiet-host
+# runs: e2e 275.8/279.6 eps, compute 282.1): the r4-committed 93.8/157.5
+# were ~3x too slow — a CONTENDED capture (the same 2-core-host
+# contamination class r5 diagnosed for BENCH_r04's TPU number; on a quiet
+# host CPU e2e ~= compute-only, contradicting the old "e2e slower than
+# compute on CPU" note, which was also a contention artifact). Using the
+# honest (stronger) denominator cuts every vs_baseline ratio ~3x — that is
+# the denominator moving, not the TPU numbers (see BASELINE.md
+# "CPU baseline re-base").
+CPU_BASELINE_E2E_EPS = 279.57
+CPU_BASELINE_COMPUTE_EPS = 282.08
 
 
 def _round(d):
