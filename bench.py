@@ -140,6 +140,14 @@ def main() -> int:
         both = best
         both["e2e"]["spread_attempts_pct"] = attempts
         both["e2e"]["in_band_vs_compute"] = bool(best_score[0] == 0)
+        # Phase observability: this config's compute-only median holds at
+        # ~0.94 ms through moderate relay degradation (BASELINE.md
+        # reproducibility ledger); a factor well above ~1.3 means the
+        # whole capture ran in a severely degraded phase and its absolute
+        # numbers understate the hardware (ledger run 13: factor ~2.9).
+        both["e2e"]["compute_phase_factor"] = (
+            round(comp_ms / 0.94, 2) if comp_ms == comp_ms else None
+        )
         e2e, e2e_k1 = both["e2e"], both["e2e_k1"]
         # Same-weather per-rep speedup of K=8 over K=1 (paired by rep).
         pairs = [
